@@ -130,6 +130,21 @@ def phase_vocoder(
     for i in range(1, nf):
         psi[i] = psi[i - 1] + rs * inst_freq[i - 1]
 
+    # DC and Nyquist bins are forced-real (phase exactly 0 or pi), so their
+    # heterodyned increment sits exactly on the princarg branch point every
+    # frame — accumulating it is chaotic under any precision change (the
+    # sign of roundoff noise picks the branch). Deterministic convention:
+    # per-frame phase pass-through plus the exact linear rotation
+    # i*Rs*omega_k (an integer multiple of pi at these bins). This keeps
+    # identity resynthesis exact and makes cross-implementation allclose
+    # well-posed; it is the only intentional deviation from the naive
+    # textbook recurrence, mirrored by phase_vocoder_tpu/ops/phase.py.
+    frame_idx = np.arange(nf, dtype=np.float64)[:, None]
+    real_bins = [0] + ([n // 2] if n % 2 == 0 else [])
+    for kb in real_bins:
+        lin = 2.0 * np.pi * ((frame_idx[:, 0].astype(np.int64) * ((rs * kb) % n)) % n) / n
+        psi[:, kb] = phi[:, kb] + lin
+
     Y = mag * np.exp(1j * psi)
     y_frames = np.fft.irfft(Y, n=n, axis=-1) * w
 

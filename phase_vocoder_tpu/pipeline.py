@@ -1,0 +1,132 @@
+"""Single-device phase-vocoder pipeline (reference component C3, rebuilt).
+
+The reference's host orchestrator launches a sequence of CUDA kernels with
+two H2D/D2H crossings (SURVEY.md SS3.2). TPU-native equivalent: the whole
+analysis->modify->synthesis chain is ONE jitted XLA program — a single
+device computation with all intermediate tensors fused/resident on chip,
+compiled once per (input length, config, stretch) and cached.
+
+Stage map (reference CUDA kernel -> this program):
+  frame+window kernel      -> framing.frame_signal (+ window fused into DFT)
+  cufftExecR2C             -> ops.fft.rfft        (MXU matmul or XLA FFT)
+  cart2polar kernel        -> jnp hypot/arctan2   (fused elementwise)
+  unwrap+accumulate kernel -> ops.phase           (associative scan)
+  polar2cart kernel        -> jnp cos/sin         (fused elementwise)
+  cufftExecC2R             -> ops.fft.irfft
+  atomicAdd OLA kernel     -> framing.overlap_add (segmented reduction)
+  normalize kernel         -> elementwise divide by OLA'd window^2
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .config import PvocConfig
+from .ops import fft as fft_ops
+from .ops import framing, phase
+from .ops.resample import resample_linear
+from .ops.window import hann_window
+
+__all__ = [
+    "analyze",
+    "synthesize",
+    "stretch_frames",
+    "time_stretch",
+    "pitch_shift",
+    "stretch_output_length",
+]
+
+
+def stretch_output_length(in_len: int, cfg: PvocConfig, stretch: float) -> int:
+    nf = framing.num_frames(in_len, cfg.n_fft, cfg.hop)
+    return framing.output_length(nf, cfg.n_fft, cfg.synthesis_hop(stretch))
+
+
+def analyze(x: jnp.ndarray, cfg: PvocConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed STFT -> (mag, phi), each (nf, n_bins)."""
+    with jax.named_scope("pvoc_analyze"):
+        frames = framing.frame_signal(x, cfg.n_fft, cfg.hop)
+        if cfg.fft_backend == "matmul":
+            re, im = fft_ops.rfft(frames, backend="matmul", fused_window=True)
+        else:
+            w = hann_window(cfg.n_fft, dtype=x.dtype)
+            re, im = fft_ops.rfft(frames * w, backend=cfg.fft_backend)
+        mag = jnp.sqrt(re * re + im * im)
+        phi = jnp.arctan2(im, re)
+        return mag, phi
+
+
+def stretch_frames(
+    mag: jnp.ndarray, phi: jnp.ndarray, cfg: PvocConfig, rs: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Frequency-domain TSM: rebuild (re, im) with accumulated synthesis phase."""
+    with jax.named_scope("pvoc_tsm"):
+        dphi = phase.heterodyne_increment(phi, cfg.hop, cfg.n_fft)
+        psi = phase.accumulate_phase(
+            phi, dphi, cfg.hop, rs, cfg.n_fft, method=cfg.phase_method
+        )
+        return mag * jnp.cos(psi), mag * jnp.sin(psi)
+
+
+def synthesize(re: jnp.ndarray, im: jnp.ndarray, cfg: PvocConfig, rs: int) -> jnp.ndarray:
+    """Inverse FFT, synthesis window, overlap-add, COLA normalization."""
+    with jax.named_scope("pvoc_synthesize"):
+        if cfg.fft_backend == "matmul":
+            y_frames = fft_ops.irfft(
+                re, im, cfg.n_fft, backend="matmul", fused_window=True
+            )
+        else:
+            w = hann_window(cfg.n_fft, dtype=re.dtype)
+            y_frames = fft_ops.irfft(re, im, cfg.n_fft, backend=cfg.fft_backend) * w
+        out = framing.overlap_add(y_frames, rs, method=cfg.ola_method)
+        w = hann_window(cfg.n_fft, dtype=re.dtype)
+        norm = framing.ola_window_norm(w, y_frames.shape[0], rs, method=cfg.ola_method)
+        return out / norm
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _time_stretch_jit(x: jnp.ndarray, cfg: PvocConfig, rs: int) -> jnp.ndarray:
+    mag, phi = analyze(x, cfg)
+    re, im = stretch_frames(mag, phi, cfg, rs)
+    return synthesize(re, im, cfg, rs)
+
+
+def time_stretch(x, stretch: float, cfg: PvocConfig = PvocConfig()) -> jnp.ndarray:
+    """Time-scale-modify a 1-D waveform by `stretch` (duration multiplier).
+
+    Pitch is preserved; output length ~= stretch * input length. The whole
+    pipeline runs as one jitted program on the default device.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    x = jnp.asarray(x, dtype=dtype)
+    rs = cfg.synthesis_hop(stretch)
+    if framing.num_frames(x.shape[-1], cfg.n_fft, cfg.hop) <= 0:
+        return jnp.zeros((0,), dtype=dtype)
+    return _time_stretch_jit(x, cfg, rs)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _pitch_shift_jit(x, cfg: PvocConfig, rs: int, factor: float, out_len: int):
+    mag, phi = analyze(x, cfg)
+    re, im = stretch_frames(mag, phi, cfg, rs)
+    y = synthesize(re, im, cfg, rs)
+    return resample_linear(y, 1.0 / factor, out_len)
+
+
+def pitch_shift(x, semitones: float, cfg: PvocConfig = PvocConfig()) -> jnp.ndarray:
+    """Pitch-shift by `semitones` via time-stretch + resample (C12 parity).
+
+    Duration is preserved; pitch moves by 2^(semitones/12).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    x = jnp.asarray(x, dtype=dtype)
+    factor = 2.0 ** (semitones / 12.0)
+    rs = cfg.synthesis_hop(factor)
+    stretched_len = stretch_output_length(x.shape[-1], cfg, factor)
+    if stretched_len <= 0:
+        return jnp.zeros((0,), dtype=dtype)
+    out_len = int(round(stretched_len / factor))
+    return _pitch_shift_jit(x, cfg, rs, factor, out_len)

@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# The axon TPU platform plugin overrides JAX_PLATFORMS (config default is
+# "axon,cpu"), so force CPU explicitly — tests must run on the virtual
+# 8-device CPU mesh, never through the single-chip TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
