@@ -24,15 +24,31 @@ from .pipeline import (
     synthesize,
     time_stretch,
 )
+from .models import PhaseVocoder
+from .parallel import (
+    batch_time_stretch,
+    batch_time_stretch_ragged,
+    batch_time_stretch_varied,
+    chunked_time_stretch,
+    make_mesh,
+    make_mesh_2d,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "PvocConfig",
+    "PhaseVocoder",
     "analyze",
     "synthesize",
     "time_stretch",
     "pitch_shift",
     "stretch_output_length",
+    "batch_time_stretch",
+    "batch_time_stretch_ragged",
+    "batch_time_stretch_varied",
+    "chunked_time_stretch",
+    "make_mesh",
+    "make_mesh_2d",
     "__version__",
 ]

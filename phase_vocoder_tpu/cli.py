@@ -1,0 +1,171 @@
+"""Command-line front-end (reference component C1 — SURVEY.md SS2.1).
+
+The reference is a batch CLI: input WAV, output WAV, stretch ratio /
+semitones, FFT size, hop. This front-end covers that surface plus the
+TPU-first extensions (batch mode, chunked sequence-parallel mode, bench).
+
+Usage:
+  pvoc stretch in.wav out.wav --ratio 2.0 [--n-fft 1024 --hop 256]
+  pvoc pitch   in.wav out.wav --semitones -5
+  pvoc batch   a.wav b.wav ... --ratio 1.5 --out-dir stretched/
+  pvoc chunked in.wav out.wav --ratio 2.0 [--devices 8]
+  pvoc bench   [--seconds 600 --ratio 2.0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from .config import PvocConfig
+from .io.wav import read_wav, write_wav
+from .utils.metrics import audio_seconds_per_second, emit_metric
+
+
+def _add_dsp_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--n-fft", type=int, default=1024, help="FFT size N")
+    p.add_argument("--hop", type=int, default=256, help="analysis hop Ra")
+    p.add_argument(
+        "--fft-backend", choices=["matmul", "xla"], default="matmul",
+        help="DFT-as-matmul on the MXU (default) or the XLA FFT op",
+    )
+    p.add_argument(
+        "--phase-method", choices=["wrapped_scan", "cumsum"], default="wrapped_scan",
+        help="drift-free wrapped associative scan (default) or naive cumsum",
+    )
+
+
+def _cfg(args) -> PvocConfig:
+    return PvocConfig(
+        n_fft=args.n_fft,
+        hop=args.hop,
+        fft_backend=args.fft_backend,
+        phase_method=args.phase_method,
+    )
+
+
+def _run_stretch(args) -> int:
+    from .pipeline import time_stretch
+
+    x, sr = read_wav(args.input)
+    t0 = time.perf_counter()
+    y = np.asarray(time_stretch(x, args.ratio, _cfg(args)))
+    dt = time.perf_counter() - t0
+    write_wav(args.output, y, sr)
+    emit_metric("audio_seconds_per_second", audio_seconds_per_second(len(x), sr, dt),
+                "audio-s/s", stretch=args.ratio, samples=len(x))
+    return 0
+
+
+def _run_pitch(args) -> int:
+    from .pipeline import pitch_shift
+
+    x, sr = read_wav(args.input)
+    y = np.asarray(pitch_shift(x, args.semitones, _cfg(args)))
+    write_wav(args.output, y, sr)
+    return 0
+
+
+def _run_batch(args) -> int:
+    from .parallel.batch import batch_time_stretch_ragged
+
+    loaded = [read_wav(p) for p in args.inputs]
+    srs = {sr for _, sr in loaded}
+    if len(srs) != 1:
+        print(f"error: mixed sample rates {sorted(srs)}", file=sys.stderr)
+        return 2
+    sr = srs.pop()
+    xs = [x for x, _ in loaded]
+    t0 = time.perf_counter()
+    ys = batch_time_stretch_ragged(xs, args.ratio, _cfg(args))
+    dt = time.perf_counter() - t0
+    os.makedirs(args.out_dir, exist_ok=True)
+    for path, y in zip(args.inputs, ys):
+        out = os.path.join(args.out_dir, os.path.basename(path))
+        write_wav(out, np.asarray(y), sr)
+    total = sum(len(x) for x in xs)
+    emit_metric("batch_audio_seconds_per_second",
+                audio_seconds_per_second(total, sr, dt), "audio-s/s",
+                utterances=len(xs))
+    return 0
+
+
+def _run_chunked(args) -> int:
+    from .parallel.chunked import chunked_time_stretch
+    from .parallel.mesh import make_mesh
+
+    x, sr = read_wav(args.input)
+    mesh = make_mesh(args.devices)
+    t0 = time.perf_counter()
+    y = np.asarray(chunked_time_stretch(x, args.ratio, _cfg(args), mesh=mesh))
+    dt = time.perf_counter() - t0
+    write_wav(args.output, y, sr)
+    emit_metric("chunked_audio_seconds_per_second",
+                audio_seconds_per_second(len(x), sr, dt), "audio-s/s",
+                devices=mesh.devices.size)
+    return 0
+
+
+def _run_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench harness
+
+    return bench_mod.main(
+        ["--seconds", str(args.seconds), "--ratio", str(args.ratio)]
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="pvoc", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("stretch", help="time-stretch a WAV (pitch preserved)")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--ratio", type=float, required=True, help="duration multiplier")
+    _add_dsp_args(p)
+    p.set_defaults(fn=_run_stretch)
+
+    p = sub.add_parser("pitch", help="pitch-shift a WAV (duration preserved)")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--semitones", type=float, required=True)
+    _add_dsp_args(p)
+    p.set_defaults(fn=_run_pitch)
+
+    p = sub.add_parser("batch", help="data-parallel TSM of many WAVs")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("--ratio", type=float, required=True)
+    p.add_argument("--out-dir", default="stretched")
+    _add_dsp_args(p)
+    p.set_defaults(fn=_run_batch)
+
+    p = sub.add_parser("chunked", help="sequence-parallel TSM of one long WAV")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--ratio", type=float, required=True)
+    p.add_argument("--devices", type=int, default=None,
+                   help="mesh size (default: all visible devices)")
+    _add_dsp_args(p)
+    p.set_defaults(fn=_run_chunked)
+
+    p = sub.add_parser("bench", help="run the throughput benchmark")
+    p.add_argument("--seconds", type=float, default=600.0)
+    p.add_argument("--ratio", type=float, default=2.0)
+    p.set_defaults(fn=_run_bench)
+
+    return ap
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=os.environ.get("PVOC_LOGLEVEL", "INFO"))
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,10 +84,22 @@ def overlap_add(frames: jnp.ndarray, hop: int, method: str = "auto") -> jnp.ndar
 
 
 def ola_window_norm(
-    window: jnp.ndarray, nf: int, hop: int, eps: float = 1e-8, method: str = "auto"
+    window: jnp.ndarray,
+    nf: int,
+    hop: int,
+    eps: float = 1e-8,
+    method: str = "auto",
+    frame_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Overlap-added window-squared normalization, clamped at >= eps."""
+    """Overlap-added window-squared normalization, clamped at >= eps.
+
+    frame_mask: optional (nf,) 0/1 weights — masked (padding) frames
+    contribute no window energy, so a padded batched run normalizes
+    identically to the unpadded per-utterance run.
+    """
     n_fft = window.shape[0]
     w2 = jnp.broadcast_to(window * window, (nf, n_fft))
+    if frame_mask is not None:
+        w2 = w2 * frame_mask[:, None].astype(window.dtype)
     norm = overlap_add(w2, hop, method=method)
     return jnp.maximum(norm, eps)

@@ -98,10 +98,10 @@ def accumulate_phase(
         psi = finalize_phase(phi[0], residual, rs, n_fft, frame_offset)
     else:
         raise ValueError(f"unknown phase method {method!r}")
-    return _pin_real_bins(psi, phi, rs, n_fft, frame_offset)
+    return pin_real_bins(psi, phi, rs, n_fft, frame_offset)
 
 
-def _pin_real_bins(
+def pin_real_bins(
     psi: jnp.ndarray, phi: jnp.ndarray, rs: int, n_fft: int, frame_offset: int = 0
 ) -> jnp.ndarray:
     """Deterministic convention for the forced-real DC/Nyquist bins.
@@ -116,7 +116,8 @@ def _pin_real_bins(
     nf, n_bins = psi.shape
     psi = psi.at[:, 0].set(phi[:, 0])
     if n_fft % 2 == 0 and n_bins == n_fft // 2 + 1:
-        i = (jnp.arange(nf, dtype=jnp.int32) + jnp.int32(frame_offset % n_fft)) % n_fft
+        off = jnp.asarray(frame_offset, jnp.int32) % n_fft
+        i = (jnp.arange(nf, dtype=jnp.int32) + off) % n_fft
         kr = jnp.int32((rs * (n_fft // 2)) % n_fft)
         lin = (TWO_PI / n_fft) * ((i * kr) % n_fft).astype(psi.dtype)
         psi = psi.at[:, -1].set(phi[:, -1] + lin)
@@ -145,7 +146,8 @@ def linear_phase_term(
     i*Rs*2pi*k/N mod 2pi == 2pi * ((i mod N) * ((Rs*k) mod N) mod N) / N.
     All intermediates fit int32 for any audio length.
     """
-    i = (jnp.arange(nf, dtype=jnp.int32) + jnp.int32(frame_offset % n_fft)) % n_fft
+    off = jnp.asarray(frame_offset, jnp.int32) % n_fft  # python int or traced
+    i = (jnp.arange(nf, dtype=jnp.int32) + off) % n_fft
     k = jnp.arange(n_bins, dtype=jnp.int32)
     kr = (k * jnp.int32(rs % n_fft)) % n_fft  # (n_bins,)
     grid = (i[:, None] * kr[None, :]) % n_fft  # (nf, n_bins), < N^2 < 2^31

@@ -1,0 +1,185 @@
+"""Sequence-parallel chunked TSM — the flagship new capability.
+
+The reference cannot split a recording at all: the whole file must fit one
+GPU (SURVEY.md SS2.2). Here ONE long recording is sharded over the mesh's
+"seq" axis by FRAMES (each device owns a contiguous span of F analysis
+frames) and stitched exactly:
+
+  * input halo   — each device ppermutes the first N-Ra samples of its
+    sample span to its left neighbor, so every frame is computed exactly
+    (no seam); the ring-attention/Ulysses communication pattern applied to
+    STFT frames [BASELINE.json:5].
+  * phase halo   — the first analysis-phase row ppermutes left so the
+    heterodyned increment crossing the chunk boundary is exact.
+  * phase carry  — the synthesis-phase prefix sum factorizes: each device
+    scans its own (Rs/Ra)*dphi terms (wrapped associative scan), the
+    per-chunk totals are all-gathered (D x n_bins floats — tiny) and a
+    wrapped exclusive prefix over the device axis yields each chunk's
+    carry. Addition mod 2*pi is associative, so chunked psi == monolithic
+    psi to f32 tolerance REGARDLESS of recording length (ops/phase.py).
+  * OLA tails    — the last N-Rs output samples of each chunk ppermute to
+    the right neighbor and add into its head BEFORE normalization, so the
+    overlap-add seam is exact. Window-energy normalization is masked to
+    valid frames, so padding frames contribute nothing.
+
+Everything is one jitted shard_map program; collectives ride ICI (and DCN
+across hosts under jax.distributed — same program, parallel/distributed.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import PvocConfig
+from ..ops import fft as fft_ops
+from ..ops import framing, phase
+from ..ops.window import hann_window
+from .. import pipeline
+from .mesh import make_mesh
+
+_EPS = 1e-8
+
+
+def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
+    """Per-device chunk program (runs inside shard_map over axis 'seq').
+
+    x_sh: (F*Ra,) this device's sample span; x_tail: (N-Ra,) replicated
+    global tail beyond the sharded span (used by the last device as halo).
+    Returns (main (F*rs,), tail (1, N-rs)) — tail rows materialize as a
+    (D, N-rs) array of which only the last row is meaningful.
+    """
+    n, ra = cfg.n_fft, cfg.hop
+    d = jax.lax.axis_index("seq")
+    left = [(i, i - 1) for i in range(1, D)]
+    right = [(i, i + 1) for i in range(D - 1)]
+
+    # --- input halo: receive next chunk's head (zeros at d=D-1 -> x_tail).
+    halo = jax.lax.ppermute(x_sh[: n - ra], "seq", left)
+    halo = jnp.where(d == D - 1, x_tail, halo)
+    frames = framing.frame_signal(jnp.concatenate([x_sh, halo]), n, ra)  # (F, n)
+
+    if cfg.fft_backend == "matmul":
+        re, im = fft_ops.rfft(frames, backend="matmul", fused_window=True)
+    else:
+        w = hann_window(n, dtype=frames.dtype)
+        re, im = fft_ops.rfft(frames * w, backend=cfg.fft_backend)
+    mag = jnp.sqrt(re * re + im * im)
+    phi = jnp.arctan2(im, re)  # (F, n_bins)
+
+    # --- phase halo: neighbor's first phi row for the boundary increment.
+    phi_next = jax.lax.ppermute(phi[0:1], "seq", left)  # zeros at d=D-1
+    phi_ext = jnp.concatenate([phi, phi_next])  # (F+1, n_bins)
+    dphi = phase.heterodyne_increment(phi_ext, ra, n)  # (F, n_bins)
+
+    # Zero increments that cross past the last valid frame (padding).
+    g = d * F + jnp.arange(F)  # global frame indices owned here
+    dphi = dphi * (g < nf - 1)[:, None].astype(dphi.dtype)
+
+    # --- phase carry: local wrapped scan + cross-device exclusive prefix.
+    scale = jnp.asarray(rs / ra, dtype=dphi.dtype)
+    terms = phase.princarg(scale * dphi)
+    incl = jax.lax.associative_scan(phase.wrap_add, terms, axis=0)  # (F, nb)
+    local_excl = jnp.concatenate([jnp.zeros_like(incl[:1]), incl[:-1]])
+    totals = jax.lax.all_gather(incl[-1], "seq")  # (D, n_bins)
+    prefix = jax.lax.associative_scan(phase.wrap_add, totals, axis=0)
+    prefix_excl = jnp.concatenate([jnp.zeros_like(prefix[:1]), prefix[:-1]])
+    carry = jnp.take(prefix_excl, d, axis=0)  # (n_bins,)
+    residual = phase.wrap_add(carry[None, :], local_excl)  # (F, n_bins)
+
+    # --- global phi[0] (device 0's first row) for the absolute phase.
+    phi0 = jax.lax.all_gather(phi[0], "seq")[0]  # (n_bins,)
+    psi = phase.finalize_phase(phi0, residual, rs, n, frame_offset=d * F)
+    psi = phase.pin_real_bins(psi, phi, rs, n, frame_offset=d * F)
+
+    y_re = mag * jnp.cos(psi)
+    y_im = mag * jnp.sin(psi)
+
+    if cfg.fft_backend == "matmul":
+        y_frames = fft_ops.irfft(y_re, y_im, n, backend="matmul", fused_window=True)
+    else:
+        w = hann_window(n, dtype=y_re.dtype)
+        y_frames = fft_ops.irfft(y_re, y_im, n, backend=cfg.fft_backend) * w
+
+    mask = (g < nf).astype(y_frames.dtype)  # valid-frame mask
+    y_frames = y_frames * mask[:, None]
+    ola = framing.overlap_add(y_frames, rs, method=cfg.ola_method)  # (F*rs+n-rs,)
+    w = hann_window(n, dtype=y_frames.dtype)
+    norm = framing.ola_window_norm(
+        w, F, rs, eps=0.0, method=cfg.ola_method, frame_mask=mask
+    )
+
+    # --- OLA tail exchange: my tail adds into my right neighbor's head.
+    tail_len = n - rs
+    recv_y = jax.lax.ppermute(ola[F * rs :], "seq", right)  # zeros at d=0
+    recv_n = jax.lax.ppermute(norm[F * rs :], "seq", right)
+    pad = (0, F * rs - tail_len)
+    main = ola[: F * rs] + jnp.pad(recv_y, pad)
+    main_norm = norm[: F * rs] + jnp.pad(recv_n, pad)
+    main_out = main / jnp.maximum(main_norm, _EPS)
+
+    # Last device's tail is the global output tail (no receiver exists).
+    tail_out = ola[F * rs :] / jnp.maximum(norm[F * rs :], _EPS)
+    return main_out, tail_out[None, :]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
+    D = mesh.shape["seq"]
+    body = functools.partial(_chunked_body, nf=nf, cfg=cfg, rs=rs, F=F, D=D)
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("seq"), P()),
+        out_specs=(P("seq"), P("seq", None)),
+    )
+    return fn(x_main, x_tail)
+
+
+def min_frames_per_device(cfg: PvocConfig, rs: int) -> int:
+    """Smallest F for which halos only touch the immediate neighbor."""
+    n, ra = cfg.n_fft, cfg.hop
+    f_halo = -(-(n - ra) // ra)  # input halo fits in neighbor's span
+    f_tail = -(-(n - rs) // rs)  # OLA tail fits in neighbor's main span
+    return max(f_halo, f_tail, 1)
+
+
+def chunked_time_stretch(
+    x,
+    stretch: float,
+    cfg: PvocConfig = PvocConfig(),
+    mesh: Mesh | None = None,
+) -> jnp.ndarray:
+    """Time-stretch ONE long recording sharded over the mesh's "seq" axis.
+
+    Mathematically identical to pipeline.time_stretch (the phase prefix sum
+    factorizes exactly across chunks); falls back to the single-device path
+    when the recording is too short to split usefully.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    x = jnp.asarray(x, dtype=dtype)
+    rs = cfg.synthesis_hop(stretch)
+    n, ra = cfg.n_fft, cfg.hop
+    nf = framing.num_frames(x.shape[-1], n, ra)
+    if nf <= 0:
+        return jnp.zeros((0,), dtype=dtype)
+    if mesh is None:
+        mesh = make_mesh(axis="seq")
+    D = mesh.shape["seq"]
+
+    F = -(-nf // D)
+    if D == 1 or F < min_frames_per_device(cfg, rs):
+        return pipeline.time_stretch(x, stretch, cfg)
+
+    nf_pad = F * D
+    span = nf_pad * ra
+    full = jnp.pad(x, (0, max(0, span + (n - ra) - x.shape[-1])))
+    x_main, x_tail = full[:span], full[span : span + (n - ra)]
+
+    main, tails = _chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh)
+    out = jnp.concatenate([main, tails[-1]])
+    return out[: framing.output_length(nf, n, rs)]

@@ -71,8 +71,20 @@ def stretch_frames(
         return mag * jnp.cos(psi), mag * jnp.sin(psi)
 
 
-def synthesize(re: jnp.ndarray, im: jnp.ndarray, cfg: PvocConfig, rs: int) -> jnp.ndarray:
-    """Inverse FFT, synthesis window, overlap-add, COLA normalization."""
+def synthesize(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    cfg: PvocConfig,
+    rs: int,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Inverse FFT, synthesis window, overlap-add, COLA normalization.
+
+    frame_mask: optional (nf,) 0/1 weights marking valid frames — padding
+    frames (batched ragged utterances, sequence-parallel tail chunks) are
+    zeroed in both the signal and the window-energy normalization so the
+    result matches an unpadded run exactly.
+    """
     with jax.named_scope("pvoc_synthesize"):
         if cfg.fft_backend == "matmul":
             y_frames = fft_ops.irfft(
@@ -81,9 +93,13 @@ def synthesize(re: jnp.ndarray, im: jnp.ndarray, cfg: PvocConfig, rs: int) -> jn
         else:
             w = hann_window(cfg.n_fft, dtype=re.dtype)
             y_frames = fft_ops.irfft(re, im, cfg.n_fft, backend=cfg.fft_backend) * w
+        if frame_mask is not None:
+            y_frames = y_frames * frame_mask[:, None].astype(y_frames.dtype)
         out = framing.overlap_add(y_frames, rs, method=cfg.ola_method)
         w = hann_window(cfg.n_fft, dtype=re.dtype)
-        norm = framing.ola_window_norm(w, y_frames.shape[0], rs, method=cfg.ola_method)
+        norm = framing.ola_window_norm(
+            w, y_frames.shape[0], rs, method=cfg.ola_method, frame_mask=frame_mask
+        )
         return out / norm
 
 
