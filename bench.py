@@ -1,0 +1,127 @@
+"""Throughput benchmark — the judge metric (BASELINE.json:2).
+
+Measures audio-seconds processed per wall-clock second per chip at 2x
+stretch, 1024-pt FFT, 256 hop, on the default JAX device (the real TPU chip
+under the driver; CPU elsewhere). Prints ONE JSON line:
+
+  {"metric": "audio_seconds_per_second_2x", "value": N, "unit": "audio-s/s",
+   "vs_baseline": N, ...}
+
+vs_baseline: the reference publishes no numbers (BASELINE.json:13
+"published": {}), so the denominator is the analytic HBM speed-of-light
+bound for this pipeline on one TPU v5e chip (~819 GB/s HBM; see
+phase_vocoder_tpu.utils.metrics.hbm_roofline_audio_s) — i.e. vs_baseline is
+the fraction of hardware speed-of-light achieved. 1.0 == HBM-bound optimum.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run_bench(
+    seconds: float = 600.0,
+    ratio: float = 2.0,
+    sr: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    iters: int = 5,
+    backend: str = "matmul",
+    check: bool = True,
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from phase_vocoder_tpu import PvocConfig, pipeline
+    from phase_vocoder_tpu.utils.metrics import hbm_roofline_audio_s
+
+    cfg = PvocConfig(n_fft=n_fft, hop=hop, sample_rate=sr, fft_backend=backend)
+    rs = cfg.synthesis_hop(ratio)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    x_np = (
+        0.5 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.3 * np.sin(2 * np.pi * (200.0 * t + 40.0 * t * t))
+        + 0.05 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_np))
+
+    fn = jax.jit(
+        lambda a: pipeline.synthesize(
+            *pipeline.stretch_frames(*pipeline.analyze(a, cfg), cfg, rs), cfg, rs
+        )
+    )
+
+    # Warmup / compile.
+    y = fn(x)
+    y.block_until_ready()
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn(x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    audio_s_per_s = seconds / best
+    roofline = hbm_roofline_audio_s(sr, n_fft, hop, ratio)
+
+    rec = {
+        "metric": "audio_seconds_per_second_2x",
+        "value": round(audio_s_per_s, 1),
+        "unit": "audio-s/s",
+        "vs_baseline": round(audio_s_per_s / roofline, 4),
+        "baseline": "analytic HBM speed-of-light (reference publishes no numbers)",
+        "roofline_audio_s_per_s": round(roofline, 1),
+        "wall_s_best": round(best, 4),
+        "audio_seconds": seconds,
+        "device": str(jax.devices()[0]),
+        "fft_backend": backend,
+        "iters": iters,
+    }
+
+    if check:
+        # Correctness spot-check vs the f64 golden model on a 1 s slice.
+        sys.path.insert(0, ".")
+        from golden import pv_ref
+
+        xs = x_np[: sr]
+        ref = pv_ref.phase_vocoder(xs, ratio, n_fft, hop)
+        ours = np.asarray(pipeline.time_stretch(xs, ratio, cfg), np.float64)
+        sl = slice(n_fft, len(ref) - n_fft)
+        err = float(
+            np.max(np.abs(ours[sl] - ref[sl])) / np.max(np.abs(ref[sl]))
+        )
+        rec["allclose_rel_err"] = round(err, 8)
+        rec["allclose_pass"] = bool(err < 1e-4)
+
+    return rec
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seconds", type=float, default=600.0)
+    ap.add_argument("--ratio", type=float, default=2.0)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--backend", choices=["matmul", "xla"], default="matmul")
+    ap.add_argument("--no-check", action="store_true")
+    args = ap.parse_args(argv)
+    rec = run_bench(
+        seconds=args.seconds,
+        ratio=args.ratio,
+        iters=args.iters,
+        backend=args.backend,
+        check=not args.no_check,
+    )
+    print(json.dumps(rec))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -140,6 +140,59 @@ def _chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
     return fn(x_main, x_tail)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _batched_chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
+    """DP x SP: batch axis on mesh 'data', time-chunk axis on mesh 'seq'."""
+    D = mesh.shape["seq"]
+
+    def body(xm, xt):  # (B_local, F*Ra), (B_local, N-Ra)
+        one = functools.partial(_chunked_body, nf=nf, cfg=cfg, rs=rs, F=F, D=D)
+        return jax.vmap(one)(xm, xt)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data", "seq"), P("data", None)),
+        out_specs=(P("data", "seq"), P("data", "seq", None)),
+    )
+    return fn(x_main, x_tail)
+
+
+def batched_chunked_time_stretch(
+    xs,
+    stretch: float,
+    cfg: PvocConfig = PvocConfig(),
+    mesh: Mesh | None = None,
+) -> jnp.ndarray:
+    """Stretch a (B, T) batch, data-parallel over 'data' AND sequence-parallel
+    over 'seq' — the full 2-D-mesh program (one shard_map, both axes)."""
+    dtype = jnp.dtype(cfg.dtype)
+    xs = jnp.asarray(xs, dtype=dtype)
+    if xs.ndim != 2:
+        raise ValueError(f"expected (B, T) batch, got shape {xs.shape}")
+    rs = cfg.synthesis_hop(stretch)
+    n, ra = cfg.n_fft, cfg.hop
+    nf = framing.num_frames(xs.shape[-1], n, ra)
+    if nf <= 0:
+        return jnp.zeros((xs.shape[0], 0), dtype=dtype)
+    if mesh is None or "seq" not in mesh.shape or "data" not in mesh.shape:
+        raise ValueError("batched_chunked_time_stretch needs a ('data','seq') mesh")
+    D = mesh.shape["seq"]
+    F = -(-nf // D)
+    if F < min_frames_per_device(cfg, rs):
+        raise ValueError(
+            f"recording too short to chunk over {D} devices "
+            f"(need >= {min_frames_per_device(cfg, rs) * D} frames, have {nf})"
+        )
+    nf_pad = F * D
+    span = nf_pad * ra
+    full = jnp.pad(xs, ((0, 0), (0, max(0, span + (n - ra) - xs.shape[-1]))))
+    x_main, x_tail = full[:, :span], full[:, span : span + (n - ra)]
+    main, tails = _batched_chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh)
+    out = jnp.concatenate([main, tails[:, -1]], axis=-1)
+    return out[:, : framing.output_length(nf, n, rs)]
+
+
 def min_frames_per_device(cfg: PvocConfig, rs: int) -> int:
     """Smallest F for which halos only touch the immediate neighbor."""
     n, ra = cfg.n_fft, cfg.hop
