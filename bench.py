@@ -38,6 +38,7 @@ def run_bench(
     import jax.numpy as jnp
 
     from phase_vocoder_tpu import PvocConfig, pipeline
+    from phase_vocoder_tpu.streaming import stream_time_stretch
     from phase_vocoder_tpu.utils.metrics import hbm_roofline_audio_s
 
     cfg = PvocConfig(n_fft=n_fft, hop=hop, sample_rate=sr, fft_backend=backend)
@@ -52,11 +53,9 @@ def run_bench(
     ).astype(np.float32)
     x = jax.device_put(jnp.asarray(x_np))
 
-    fn = jax.jit(
-        lambda a: pipeline.synthesize(
-            *pipeline.stretch_frames(*pipeline.analyze(a, cfg), cfg, rs), cfg, rs
-        )
-    )
+    # Streaming segmented executor: constant compile cost in audio length
+    # (the monolithic graph compiles superlinearly), one lax.scan dispatch.
+    fn = lambda a: stream_time_stretch(a, ratio, cfg)
 
     # Warmup / compile.
     y = fn(x)

@@ -110,17 +110,30 @@ def _time_stretch_jit(x: jnp.ndarray, cfg: PvocConfig, rs: int) -> jnp.ndarray:
     return synthesize(re, im, cfg, rs)
 
 
-def time_stretch(x, stretch: float, cfg: PvocConfig = PvocConfig()) -> jnp.ndarray:
+def time_stretch(
+    x,
+    stretch: float,
+    cfg: PvocConfig = PvocConfig(),
+    max_monolithic_frames: int = 4096,
+) -> jnp.ndarray:
     """Time-scale-modify a 1-D waveform by `stretch` (duration multiplier).
 
-    Pitch is preserved; output length ~= stretch * input length. The whole
-    pipeline runs as one jitted program on the default device.
+    Pitch is preserved; output length ~= stretch * input length. Short
+    inputs run as one jitted program; recordings beyond
+    `max_monolithic_frames` (~65 s at 16 kHz/256 hop) route through the
+    streaming segmented executor, whose compile cost is constant in length
+    (XLA compile time grows superlinearly with the monolithic graph).
     """
     dtype = jnp.dtype(cfg.dtype)
     x = jnp.asarray(x, dtype=dtype)
     rs = cfg.synthesis_hop(stretch)
-    if framing.num_frames(x.shape[-1], cfg.n_fft, cfg.hop) <= 0:
+    nf = framing.num_frames(x.shape[-1], cfg.n_fft, cfg.hop)
+    if nf <= 0:
         return jnp.zeros((0,), dtype=dtype)
+    if nf > max_monolithic_frames:
+        from . import streaming
+
+        return streaming.stream_time_stretch(x, stretch, cfg)
     return _time_stretch_jit(x, cfg, rs)
 
 

@@ -1,0 +1,203 @@
+"""Streaming segmented execution — compile-once processing of any length.
+
+XLA compile time for the monolithic pipeline grows superlinearly with audio
+length (measured on TPU v5e: 17 s at 10 s of audio, 210 s at 60 s), so long
+recordings are processed as a lax.scan over FIXED-SHAPE segments: the whole
+loop is ONE jitted program whose compile cost is that of a single segment,
+independent of recording length.
+
+Exactness: the cross-segment state is precisely the sequence-parallel carry
+of parallel/chunked.py, applied serially —
+
+  * phi_prev   — previous segment's last analysis-phase row, so the
+    boundary heterodyne increment is exact;
+  * psi_carry  — wrapped running sum of (Rs/Ra)*dphi terms (addition mod
+    2*pi is associative, so segment-wise accumulation == monolithic scan);
+  * phi0       — first frame's phase (absolute phase anchor);
+  * ola_tail / norm_tail — the last N-Rs overlap-add samples and their
+    window-energy, added into the next segment's head before normalization.
+
+This state (a few KB) is also the checkpoint/resume granularity for
+hour-long jobs (utils/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .config import PvocConfig
+from .ops import fft as fft_ops
+from .ops import framing, phase
+from .ops.window import hann_window
+from . import pipeline
+
+_EPS = 1e-8
+
+# Default segment size in frames: ~16 s of 16 kHz audio at hop 256. Large
+# enough to saturate the chip, small enough to compile in a few seconds.
+DEFAULT_SEGMENT_FRAMES = 1024
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StreamState:
+    """Carried state between segments (see module docstring)."""
+
+    phi_prev: jnp.ndarray  # (n_bins,)
+    psi_carry: jnp.ndarray  # (n_bins,)
+    phi0: jnp.ndarray  # (n_bins,)
+    ola_tail: jnp.ndarray  # (n_fft - rs,)
+    norm_tail: jnp.ndarray  # (n_fft - rs,)
+    started: jnp.ndarray  # () bool — false only before the first segment
+    frame_offset: jnp.ndarray  # () int32 — global index of next frame
+
+
+def init_state(cfg: PvocConfig, rs: int, dtype=jnp.float32) -> StreamState:
+    nb = cfg.n_bins
+    tail = cfg.n_fft - rs
+    if tail < 0:
+        raise ValueError(f"synthesis hop {rs} exceeds n_fft {cfg.n_fft}")
+    z = functools.partial(jnp.zeros, dtype=dtype)
+    return StreamState(
+        phi_prev=z((nb,)),
+        psi_carry=z((nb,)),
+        phi0=z((nb,)),
+        ola_tail=z((tail,)),
+        norm_tail=z((tail,)),
+        started=jnp.zeros((), jnp.bool_),
+        frame_offset=jnp.zeros((), jnp.int32),
+    )
+
+
+def segment_step(
+    x_seg: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    state: StreamState,
+    cfg: PvocConfig,
+    rs: int,
+) -> tuple[jnp.ndarray, StreamState]:
+    """Process one fixed-shape segment of F frames.
+
+    x_seg: (F*Ra + N - Ra,) samples covering frames [offset, offset+F) plus
+    the right halo. n_valid: () int32, number of real (non-padding) frames.
+    Returns (main output (F*rs,), new state). The caller flushes the final
+    ola_tail/norm_tail after the last segment.
+    """
+    n, ra = cfg.n_fft, cfg.hop
+    F = (x_seg.shape[-1] - (n - ra)) // ra
+    dtype = x_seg.dtype
+
+    frames = framing.frame_signal(x_seg, n, ra)  # (F, n)
+    if cfg.fft_backend == "matmul":
+        re, im = fft_ops.rfft(frames, backend="matmul", fused_window=True)
+    else:
+        w = hann_window(n, dtype=dtype)
+        re, im = fft_ops.rfft(frames * w, backend=cfg.fft_backend)
+    mag = jnp.sqrt(re * re + im * im)
+    phi = jnp.arctan2(im, re)  # (F, n_bins)
+
+    # Terms T[j] = s_{offset+j-1}: the step INTO frame offset+j. T[0] crosses
+    # the segment boundary (uses phi_prev); it is zero for the first segment.
+    phi_ext = jnp.concatenate([state.phi_prev[None, :], phi])  # (F+1, nb)
+    dphi = phase.heterodyne_increment(phi_ext, ra, n)  # (F, nb)
+    scale = jnp.asarray(rs / ra, dtype=dtype)
+    terms = phase.princarg(scale * dphi)
+    j = jnp.arange(F)
+    # Step s_{g+j-1} exists iff 0 <= g+j-1 <= nf-2, i.e. the target frame
+    # g+j is real and has a predecessor. Padding frames and the very first
+    # frame contribute zero.
+    g = state.frame_offset
+    valid_term = (j < n_valid) & ((g + j) > 0)
+    terms = terms * valid_term[:, None].astype(dtype)
+
+    incl = jax.lax.associative_scan(phase.wrap_add, terms, axis=0)
+    residual = phase.wrap_add(state.psi_carry[None, :], incl)  # (F, nb)
+    new_carry = residual[-1]
+
+    phi0 = jnp.where(state.started, state.phi0, phi[0])
+    psi = phase.finalize_phase(phi0, residual, rs, n, frame_offset=g)
+    psi = phase.pin_real_bins(psi, phi, rs, n, frame_offset=g)
+
+    y_re = mag * jnp.cos(psi)
+    y_im = mag * jnp.sin(psi)
+    if cfg.fft_backend == "matmul":
+        y_frames = fft_ops.irfft(y_re, y_im, n, backend="matmul", fused_window=True)
+    else:
+        w = hann_window(n, dtype=dtype)
+        y_frames = fft_ops.irfft(y_re, y_im, n, backend=cfg.fft_backend) * w
+
+    mask = (j < n_valid).astype(dtype)
+    y_frames = y_frames * mask[:, None]
+    ola = framing.overlap_add(y_frames, rs, method=cfg.ola_method)
+    w = hann_window(n, dtype=dtype)
+    norm = framing.ola_window_norm(w, F, rs, eps=0.0, method=cfg.ola_method,
+                                   frame_mask=mask)
+
+    tail_len = n - rs
+    pad = (0, F * rs - tail_len)
+    main = ola[: F * rs] + jnp.pad(state.ola_tail, pad)
+    main_norm = norm[: F * rs] + jnp.pad(state.norm_tail, pad)
+    main_out = main / jnp.maximum(main_norm, _EPS)
+
+    new_state = StreamState(
+        phi_prev=phi[jnp.minimum(n_valid, F) - 1],
+        psi_carry=new_carry,
+        phi0=phi0,
+        ola_tail=ola[F * rs :],
+        norm_tail=norm[F * rs :],
+        started=jnp.ones((), jnp.bool_),
+        frame_offset=g + jnp.minimum(n_valid, F).astype(jnp.int32),
+    )
+    return main_out, new_state
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _stream_scan(x_pad, nf: int, cfg: PvocConfig, rs: int, F: int, S: int):
+    """lax.scan over S fixed-shape segments; one compile, any length."""
+    n, ra = cfg.n_fft, cfg.hop
+    state0 = init_state(cfg, rs, dtype=x_pad.dtype)
+
+    def body(state, s):
+        start = s * (F * ra)
+        x_seg = jax.lax.dynamic_slice(x_pad, (start,), (F * ra + n - ra,))
+        n_valid = jnp.clip(nf - s * F, 0, F)
+        out, state = segment_step(x_seg, n_valid, state, cfg, rs)
+        return state, out
+
+    state, outs = jax.lax.scan(body, state0, jnp.arange(S, dtype=jnp.int32))
+    tail = state.ola_tail / jnp.maximum(state.norm_tail, _EPS)
+    return outs.reshape(S * F * rs), tail
+
+
+def stream_time_stretch(
+    x,
+    stretch: float,
+    cfg: PvocConfig = PvocConfig(),
+    segment_frames: int = DEFAULT_SEGMENT_FRAMES,
+) -> jnp.ndarray:
+    """Time-stretch of arbitrary length with constant compile cost.
+
+    Numerically equivalent to pipeline.time_stretch (same per-frame math,
+    segment-wise wrapped-carry accumulation); preferred for recordings
+    longer than ~segment_frames frames.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    x = jnp.asarray(x, dtype=dtype)
+    rs = cfg.synthesis_hop(stretch)
+    n, ra = cfg.n_fft, cfg.hop
+    nf = framing.num_frames(x.shape[-1], n, ra)
+    if nf <= 0:
+        return jnp.zeros((0,), dtype=dtype)
+    # Segment size: requested, but no larger than the recording and no
+    # smaller than what keeps the OLA tail within one segment's main span.
+    F = max(min(segment_frames, nf), -(-(n - rs) // rs), -(-(n - ra) // ra), 1)
+    S = -(-nf // F)
+    span = S * F * ra + (n - ra)
+    x_pad = jnp.pad(x, (0, max(0, span - x.shape[-1])))[:span]
+    main, tail = _stream_scan(x_pad, nf, cfg, rs, F, S)
+    out = jnp.concatenate([main, tail])
+    return out[: framing.output_length(nf, n, rs)]
