@@ -37,6 +37,10 @@ def run_bench(
     import jax
     import jax.numpy as jnp
 
+    from phase_vocoder_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from phase_vocoder_tpu import PvocConfig, pipeline
     from phase_vocoder_tpu.streaming import stream_time_stretch
     from phase_vocoder_tpu.utils.metrics import hbm_roofline_audio_s
@@ -55,16 +59,19 @@ def run_bench(
 
     # Streaming segmented executor: constant compile cost in audio length
     # (the monolithic graph compiles superlinearly), one lax.scan dispatch.
-    fn = lambda a: stream_time_stretch(a, ratio, cfg)
+    # The timed program reduces the output to a scalar that is FETCHED to
+    # host each iteration: on remote-attached devices block_until_ready has
+    # been observed to return before the computation actually finishes, so
+    # only a host-visible data dependency gives honest timings.
+    fn = jax.jit(lambda a: jnp.sum(stream_time_stretch(a, ratio, cfg)))
 
     # Warmup / compile.
-    y = fn(x)
-    y.block_until_ready()
+    float(fn(x))
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        fn(x).block_until_ready()
+        float(fn(x))
         times.append(time.perf_counter() - t0)
     best = min(times)
 
@@ -108,7 +115,7 @@ def main(argv=None) -> int:
     ap.add_argument("--seconds", type=float, default=600.0)
     ap.add_argument("--ratio", type=float, default=2.0)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--backend", choices=["matmul", "xla"], default="matmul")
+    ap.add_argument("--backend", choices=["matmul", "xla", "pallas"], default="matmul")
     ap.add_argument("--no-check", action="store_true")
     args = ap.parse_args(argv)
     rec = run_bench(

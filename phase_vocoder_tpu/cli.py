@@ -25,13 +25,24 @@ import numpy as np
 from .config import PvocConfig
 from .io.wav import read_wav, write_wav
 from .utils.metrics import audio_seconds_per_second, emit_metric
+from .utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+# PVOC_PLATFORM=cpu forces the CPU backend (the TPU plugin otherwise wins
+# even over JAX_PLATFORMS): lets the CLI run on machines whose accelerator
+# is busy or absent.
+if os.environ.get("PVOC_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["PVOC_PLATFORM"])
 
 
 def _add_dsp_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n-fft", type=int, default=1024, help="FFT size N")
     p.add_argument("--hop", type=int, default=256, help="analysis hop Ra")
     p.add_argument(
-        "--fft-backend", choices=["matmul", "xla"], default="matmul",
+        "--fft-backend", choices=["matmul", "xla", "pallas"], default="matmul",
         help="DFT-as-matmul on the MXU (default) or the XLA FFT op",
     )
     p.add_argument(
@@ -51,10 +62,29 @@ def _cfg(args) -> PvocConfig:
 
 def _run_stretch(args) -> int:
     from .pipeline import time_stretch
+    from .utils import profiling
 
     x, sr = read_wav(args.input)
     t0 = time.perf_counter()
-    y = np.asarray(time_stretch(x, args.ratio, _cfg(args)))
+    with profiling.trace(args.trace_dir):
+        if args.checkpoint_dir:
+            from .streaming import DEFAULT_SEGMENT_FRAMES
+            from .utils.checkpoint import checkpointed_stream_time_stretch
+
+            y = np.asarray(checkpointed_stream_time_stretch(
+                x, args.ratio, _cfg(args),
+                checkpoint_dir=args.checkpoint_dir,
+                segment_frames=args.segment_frames or DEFAULT_SEGMENT_FRAMES,
+                batch_segments=args.batch_segments,
+            ))
+        elif args.segment_frames:
+            from .streaming import stream_time_stretch
+
+            y = np.asarray(stream_time_stretch(
+                x, args.ratio, _cfg(args), segment_frames=args.segment_frames
+            ))
+        else:
+            y = np.asarray(time_stretch(x, args.ratio, _cfg(args)))
     dt = time.perf_counter() - t0
     write_wav(args.output, y, sr)
     emit_metric("audio_seconds_per_second", audio_seconds_per_second(len(x), sr, dt),
@@ -127,6 +157,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--ratio", type=float, required=True, help="duration multiplier")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="checkpoint/resume directory for long runs "
+                        "(resumes at the last completed segment batch)")
+    p.add_argument("--segment-frames", type=int, default=None,
+                   help="frames per streaming segment (default 1024)")
+    p.add_argument("--batch-segments", type=int, default=8,
+                   help="segments per checkpoint batch (with --checkpoint-dir)")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace here (TensorBoard/Perfetto)")
     _add_dsp_args(p)
     p.set_defaults(fn=_run_stretch)
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Literal
 
-FFTBackend = Literal["xla", "matmul"]
+FFTBackend = Literal["xla", "matmul", "pallas"]
 PhaseMethod = Literal["wrapped_scan", "cumsum"]
 OLAMethod = Literal["auto", "fold", "scatter"]
 
@@ -26,7 +26,10 @@ class PvocConfig:
       fft_backend: "xla" uses jnp.fft.rfft/irfft; "matmul" evaluates the DFT
         as two real matrix products on the MXU (often faster on TPU for
         moderate N since it rides the systolic array and fuses with
-        windowing).
+        windowing); "pallas" uses the fused Pallas kernels (framing + DFT +
+        polar in one kernel, polar + iDFT + OLA in another — ops/pallas/),
+        falling back to "matmul" where unsupported (hop must divide n_fft,
+        synthesis hop must divide n_fft with overlap >= 2).
       phase_method: "wrapped_scan" accumulates synthesis phase modulo 2*pi
         with an associative scan plus an exact integer-arithmetic linear
         term — numerically stable for arbitrarily long audio in float32.

@@ -58,5 +58,21 @@ class PhaseVocoder:
 
         return chunked_time_stretch(x, stretch, self.config, mesh=mesh)
 
+    def stream_time_stretch(self, x, stretch: float, **kw) -> jnp.ndarray:
+        """Compile-once segmented TSM for recordings of any length."""
+        from ..streaming import stream_time_stretch
+
+        return stream_time_stretch(x, stretch, self.config, **kw)
+
+    def checkpointed_time_stretch(
+        self, x, stretch: float, checkpoint_dir: str, **kw
+    ) -> jnp.ndarray:
+        """Segmented TSM with crash recovery at segment-batch granularity."""
+        from ..utils.checkpoint import checkpointed_stream_time_stretch
+
+        return checkpointed_stream_time_stretch(
+            x, stretch, self.config, checkpoint_dir=checkpoint_dir, **kw
+        )
+
     def output_length(self, in_len: int, stretch: float) -> int:
         return pipeline.stretch_output_length(in_len, self.config, stretch)

@@ -61,15 +61,8 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     # --- input halo: receive next chunk's head (zeros at d=D-1 -> x_tail).
     halo = jax.lax.ppermute(x_sh[: n - ra], "seq", left)
     halo = jnp.where(d == D - 1, x_tail, halo)
-    frames = framing.frame_signal(jnp.concatenate([x_sh, halo]), n, ra)  # (F, n)
-
-    if cfg.fft_backend == "matmul":
-        re, im = fft_ops.rfft(frames, backend="matmul", fused_window=True)
-    else:
-        w = hann_window(n, dtype=frames.dtype)
-        re, im = fft_ops.rfft(frames * w, backend=cfg.fft_backend)
-    mag = jnp.sqrt(re * re + im * im)
-    phi = jnp.arctan2(im, re)  # (F, n_bins)
+    # Backend dispatch (xla / matmul / fused pallas) lives in the pipeline.
+    mag, phi = pipeline.analyze(jnp.concatenate([x_sh, halo]), cfg)  # (F, nb)
 
     # --- phase halo: neighbor's first phi row for the boundary increment.
     phi_next = jax.lax.ppermute(phi[0:1], "seq", left)  # zeros at d=D-1
@@ -96,19 +89,24 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     psi = phase.finalize_phase(phi0, residual, rs, n, frame_offset=d * F)
     psi = phase.pin_real_bins(psi, phi, rs, n, frame_offset=d * F)
 
-    y_re = mag * jnp.cos(psi)
-    y_im = mag * jnp.sin(psi)
+    mask = (g < nf).astype(mag.dtype)  # valid-frame mask
+    if pipeline.pallas_synthesis_ok(cfg, rs):
+        from ..ops.pallas import istft_ola
 
-    if cfg.fft_backend == "matmul":
-        y_frames = fft_ops.irfft(y_re, y_im, n, backend="matmul", fused_window=True)
+        ola = istft_ola(mag, psi, n, rs, frame_mask=mask)  # (F*rs+n-rs,)
     else:
-        w = hann_window(n, dtype=y_re.dtype)
-        y_frames = fft_ops.irfft(y_re, y_im, n, backend=cfg.fft_backend) * w
-
-    mask = (g < nf).astype(y_frames.dtype)  # valid-frame mask
-    y_frames = y_frames * mask[:, None]
-    ola = framing.overlap_add(y_frames, rs, method=cfg.ola_method)  # (F*rs+n-rs,)
-    w = hann_window(n, dtype=y_frames.dtype)
+        y_re = mag * jnp.cos(psi)
+        y_im = mag * jnp.sin(psi)
+        if cfg.fft_backend == "xla":
+            w = hann_window(n, dtype=y_re.dtype)
+            y_frames = fft_ops.irfft(y_re, y_im, n, backend="xla") * w
+        else:
+            y_frames = fft_ops.irfft(
+                y_re, y_im, n, backend="matmul", fused_window=True
+            )
+        y_frames = y_frames * mask[:, None]
+        ola = framing.overlap_add(y_frames, rs, method=cfg.ola_method)
+    w = hann_window(n, dtype=mag.dtype)
     norm = framing.ola_window_norm(
         w, F, rs, eps=0.0, method=cfg.ola_method, frame_mask=mask
     )
@@ -131,11 +129,15 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
 def _chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
     D = mesh.shape["seq"]
     body = functools.partial(_chunked_body, nf=nf, cfg=cfg, rs=rs, F=F, D=D)
+    # check_vma=False: the interpret-mode pallas kernels do internal
+    # dynamic_slices that the vma checker cannot type (JAX suggests this
+    # workaround); correctness is covered by the sharded-vs-single tests.
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P("seq"), P()),
         out_specs=(P("seq"), P("seq", None)),
+        check_vma=False,
     )
     return fn(x_main, x_tail)
 
@@ -154,6 +156,7 @@ def _batched_chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
         mesh=mesh,
         in_specs=(P("data", "seq"), P("data", None)),
         out_specs=(P("data", "seq"), P("data", "seq", None)),
+        check_vma=False,
     )
     return fn(x_main, x_tail)
 

@@ -33,7 +33,9 @@ from .ops.window import hann_window
 __all__ = [
     "analyze",
     "synthesize",
+    "synthesize_polar",
     "stretch_frames",
+    "stretch_polar",
     "time_stretch",
     "pitch_shift",
     "stretch_output_length",
@@ -45,30 +47,78 @@ def stretch_output_length(in_len: int, cfg: PvocConfig, stretch: float) -> int:
     return framing.output_length(nf, cfg.n_fft, cfg.synthesis_hop(stretch))
 
 
+def pallas_analysis_ok(cfg: PvocConfig) -> bool:
+    return cfg.fft_backend == "pallas" and cfg.n_fft % cfg.hop == 0
+
+
+def pallas_synthesis_ok(cfg: PvocConfig, rs: int) -> bool:
+    return (
+        cfg.fft_backend == "pallas"
+        and cfg.n_fft % rs == 0
+        and cfg.n_fft // rs >= 2
+    )
+
+
 def analyze(x: jnp.ndarray, cfg: PvocConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Windowed STFT -> (mag, phi), each (nf, n_bins)."""
     with jax.named_scope("pvoc_analyze"):
+        if pallas_analysis_ok(cfg):
+            from .ops.pallas import stft_polar
+
+            return stft_polar(x, cfg.n_fft, cfg.hop)
         frames = framing.frame_signal(x, cfg.n_fft, cfg.hop)
-        if cfg.fft_backend == "matmul":
-            re, im = fft_ops.rfft(frames, backend="matmul", fused_window=True)
-        else:
+        if cfg.fft_backend == "xla":
             w = hann_window(cfg.n_fft, dtype=x.dtype)
-            re, im = fft_ops.rfft(frames * w, backend=cfg.fft_backend)
+            re, im = fft_ops.rfft(frames * w, backend="xla")
+        else:  # "matmul", and the fallback for unsupported pallas geometries
+            re, im = fft_ops.rfft(frames, backend="matmul", fused_window=True)
         mag = jnp.sqrt(re * re + im * im)
         phi = jnp.arctan2(im, re)
         return mag, phi
+
+
+def stretch_polar(
+    mag: jnp.ndarray, phi: jnp.ndarray, cfg: PvocConfig, rs: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Frequency-domain TSM in polar form: (mag, accumulated synthesis phase)."""
+    with jax.named_scope("pvoc_tsm"):
+        dphi = phase.heterodyne_increment(phi, cfg.hop, cfg.n_fft)
+        psi = phase.accumulate_phase(
+            phi, dphi, cfg.hop, rs, cfg.n_fft, method=cfg.phase_method
+        )
+        return mag, psi
 
 
 def stretch_frames(
     mag: jnp.ndarray, phi: jnp.ndarray, cfg: PvocConfig, rs: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Frequency-domain TSM: rebuild (re, im) with accumulated synthesis phase."""
-    with jax.named_scope("pvoc_tsm"):
-        dphi = phase.heterodyne_increment(phi, cfg.hop, cfg.n_fft)
-        psi = phase.accumulate_phase(
-            phi, dphi, cfg.hop, rs, cfg.n_fft, method=cfg.phase_method
-        )
-        return mag * jnp.cos(psi), mag * jnp.sin(psi)
+    mag, psi = stretch_polar(mag, phi, cfg, rs)
+    return mag * jnp.cos(psi), mag * jnp.sin(psi)
+
+
+def synthesize_polar(
+    mag: jnp.ndarray,
+    psi: jnp.ndarray,
+    cfg: PvocConfig,
+    rs: int,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Polar-form synthesis; routes to the fused Pallas iSTFT+OLA kernel
+    when supported, else the (re, im) XLA path."""
+    if pallas_synthesis_ok(cfg, rs):
+        from .ops.pallas import istft_ola
+
+        with jax.named_scope("pvoc_synthesize"):
+            out = istft_ola(mag, psi, cfg.n_fft, rs, frame_mask=frame_mask)
+            w = hann_window(cfg.n_fft, dtype=mag.dtype)
+            norm = framing.ola_window_norm(
+                w, mag.shape[0], rs, method="fold", frame_mask=frame_mask
+            )
+            return out / norm
+    return synthesize(
+        mag * jnp.cos(psi), mag * jnp.sin(psi), cfg, rs, frame_mask=frame_mask
+    )
 
 
 def synthesize(
@@ -86,13 +136,13 @@ def synthesize(
     result matches an unpadded run exactly.
     """
     with jax.named_scope("pvoc_synthesize"):
-        if cfg.fft_backend == "matmul":
+        if cfg.fft_backend == "xla":
+            w = hann_window(cfg.n_fft, dtype=re.dtype)
+            y_frames = fft_ops.irfft(re, im, cfg.n_fft, backend="xla") * w
+        else:  # "matmul", and the fallback for unsupported pallas geometries
             y_frames = fft_ops.irfft(
                 re, im, cfg.n_fft, backend="matmul", fused_window=True
             )
-        else:
-            w = hann_window(cfg.n_fft, dtype=re.dtype)
-            y_frames = fft_ops.irfft(re, im, cfg.n_fft, backend=cfg.fft_backend) * w
         if frame_mask is not None:
             y_frames = y_frames * frame_mask[:, None].astype(y_frames.dtype)
         out = framing.overlap_add(y_frames, rs, method=cfg.ola_method)
@@ -106,8 +156,8 @@ def synthesize(
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _time_stretch_jit(x: jnp.ndarray, cfg: PvocConfig, rs: int) -> jnp.ndarray:
     mag, phi = analyze(x, cfg)
-    re, im = stretch_frames(mag, phi, cfg, rs)
-    return synthesize(re, im, cfg, rs)
+    mag, psi = stretch_polar(mag, phi, cfg, rs)
+    return synthesize_polar(mag, psi, cfg, rs)
 
 
 def time_stretch(
@@ -140,8 +190,8 @@ def time_stretch(
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _pitch_shift_jit(x, cfg: PvocConfig, rs: int, factor: float, out_len: int):
     mag, phi = analyze(x, cfg)
-    re, im = stretch_frames(mag, phi, cfg, rs)
-    y = synthesize(re, im, cfg, rs)
+    mag, psi = stretch_polar(mag, phi, cfg, rs)
+    y = synthesize_polar(mag, psi, cfg, rs)
     return resample_linear(y, 1.0 / factor, out_len)
 
 

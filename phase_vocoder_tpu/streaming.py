@@ -91,14 +91,7 @@ def segment_step(
     F = (x_seg.shape[-1] - (n - ra)) // ra
     dtype = x_seg.dtype
 
-    frames = framing.frame_signal(x_seg, n, ra)  # (F, n)
-    if cfg.fft_backend == "matmul":
-        re, im = fft_ops.rfft(frames, backend="matmul", fused_window=True)
-    else:
-        w = hann_window(n, dtype=dtype)
-        re, im = fft_ops.rfft(frames * w, backend=cfg.fft_backend)
-    mag = jnp.sqrt(re * re + im * im)
-    phi = jnp.arctan2(im, re)  # (F, n_bins)
+    mag, phi = pipeline.analyze(x_seg, cfg)  # (F, n_bins)
 
     # Terms T[j] = s_{offset+j-1}: the step INTO frame offset+j. T[0] crosses
     # the segment boundary (uses phi_prev); it is zero for the first segment.
@@ -122,17 +115,23 @@ def segment_step(
     psi = phase.finalize_phase(phi0, residual, rs, n, frame_offset=g)
     psi = phase.pin_real_bins(psi, phi, rs, n, frame_offset=g)
 
-    y_re = mag * jnp.cos(psi)
-    y_im = mag * jnp.sin(psi)
-    if cfg.fft_backend == "matmul":
-        y_frames = fft_ops.irfft(y_re, y_im, n, backend="matmul", fused_window=True)
-    else:
-        w = hann_window(n, dtype=dtype)
-        y_frames = fft_ops.irfft(y_re, y_im, n, backend=cfg.fft_backend) * w
-
     mask = (j < n_valid).astype(dtype)
-    y_frames = y_frames * mask[:, None]
-    ola = framing.overlap_add(y_frames, rs, method=cfg.ola_method)
+    if pipeline.pallas_synthesis_ok(cfg, rs):
+        from .ops.pallas import istft_ola
+
+        ola = istft_ola(mag, psi, n, rs, frame_mask=mask)
+    else:
+        y_re = mag * jnp.cos(psi)
+        y_im = mag * jnp.sin(psi)
+        if cfg.fft_backend == "xla":
+            w = hann_window(n, dtype=dtype)
+            y_frames = fft_ops.irfft(y_re, y_im, n, backend="xla") * w
+        else:
+            y_frames = fft_ops.irfft(
+                y_re, y_im, n, backend="matmul", fused_window=True
+            )
+        y_frames = y_frames * mask[:, None]
+        ola = framing.overlap_add(y_frames, rs, method=cfg.ola_method)
     w = hann_window(n, dtype=dtype)
     norm = framing.ola_window_norm(w, F, rs, eps=0.0, method=cfg.ola_method,
                                    frame_mask=mask)
@@ -155,22 +154,50 @@ def segment_step(
     return main_out, new_state
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
-def _stream_scan(x_pad, nf: int, cfg: PvocConfig, rs: int, F: int, S: int):
-    """lax.scan over S fixed-shape segments; one compile, any length."""
-    n, ra = cfg.n_fft, cfg.hop
-    state0 = init_state(cfg, rs, dtype=x_pad.dtype)
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _stream_scan_from(
+    x_pad, state0: StreamState, nf: int, cfg: PvocConfig, rs: int, F: int,
+    s_count: int,
+):
+    """lax.scan over `s_count` fixed-shape segments starting from `state0`.
 
-    def body(state, s):
+    Segment indices come from state0.frame_offset // F, so ONE compiled
+    program serves every batch of a checkpointed run (utils/checkpoint.py)
+    as well as the whole-recording call.
+    """
+    n, ra = cfg.n_fft, cfg.hop
+    s0 = state0.frame_offset // jnp.int32(F)
+
+    def body(state, j):
+        s = s0 + j
         start = s * (F * ra)
         x_seg = jax.lax.dynamic_slice(x_pad, (start,), (F * ra + n - ra,))
         n_valid = jnp.clip(nf - s * F, 0, F)
         out, state = segment_step(x_seg, n_valid, state, cfg, rs)
         return state, out
 
-    state, outs = jax.lax.scan(body, state0, jnp.arange(S, dtype=jnp.int32))
-    tail = state.ola_tail / jnp.maximum(state.norm_tail, _EPS)
-    return outs.reshape(S * F * rs), tail
+    state, outs = jax.lax.scan(body, state0, jnp.arange(s_count, dtype=jnp.int32))
+    return outs.reshape(s_count * F * rs), state
+
+
+def flush_tail(state: StreamState) -> jnp.ndarray:
+    """Normalized final OLA tail — emit after the last segment."""
+    return state.ola_tail / jnp.maximum(state.norm_tail, _EPS)
+
+
+def plan_segments(nf: int, cfg: PvocConfig, rs: int, segment_frames: int):
+    """(frames per segment F, number of segments S) for a recording of nf
+    frames. F is the requested size clamped so the OLA/framing tails stay
+    within one segment's span."""
+    n, ra = cfg.n_fft, cfg.hop
+    F = max(min(segment_frames, nf), -(-(n - rs) // rs), -(-(n - ra) // ra), 1)
+    return F, -(-nf // F)
+
+
+def pad_for_segments(x: jnp.ndarray, cfg: PvocConfig, F: int, S: int) -> jnp.ndarray:
+    n, ra = cfg.n_fft, cfg.hop
+    span = S * F * ra + (n - ra)
+    return jnp.pad(x, (0, max(0, span - x.shape[-1])))[:span]
 
 
 def stream_time_stretch(
@@ -192,12 +219,18 @@ def stream_time_stretch(
     nf = framing.num_frames(x.shape[-1], n, ra)
     if nf <= 0:
         return jnp.zeros((0,), dtype=dtype)
-    # Segment size: requested, but no larger than the recording and no
-    # smaller than what keeps the OLA tail within one segment's main span.
-    F = max(min(segment_frames, nf), -(-(n - rs) // rs), -(-(n - ra) // ra), 1)
-    S = -(-nf // F)
-    span = S * F * ra + (n - ra)
-    x_pad = jnp.pad(x, (0, max(0, span - x.shape[-1])))[:span]
-    main, tail = _stream_scan(x_pad, nf, cfg, rs, F, S)
-    out = jnp.concatenate([main, tail])
-    return out[: framing.output_length(nf, n, rs)]
+    F, S = plan_segments(nf, cfg, rs, segment_frames)
+    # ONE jitted program (pad + scan + tail flush + trim): a single dispatch
+    # end to end — host<->device round trips between ops would otherwise
+    # dominate on remote-attached devices.
+    return _stream_full(x, nf, cfg, rs, F, S)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _stream_full(x, nf: int, cfg: PvocConfig, rs: int, F: int, S: int):
+    x_pad = pad_for_segments(x, cfg, F, S)
+    main, state = _stream_scan_from(
+        x_pad, init_state(cfg, rs, dtype=x.dtype), nf, cfg, rs, F, S
+    )
+    out = jnp.concatenate([main, flush_tail(state)])
+    return out[: framing.output_length(nf, cfg.n_fft, rs)]
