@@ -25,13 +25,13 @@ import numpy as np
 
 
 def run_bench(
-    seconds: float = 600.0,
+    seconds: float = 3600.0,
     ratio: float = 2.0,
     sr: int = 16000,
     n_fft: int = 1024,
     hop: int = 256,
     iters: int = 5,
-    backend: str = "matmul",
+    backend: str = "pallas",
     check: bool = True,
 ) -> dict:
     import jax
@@ -57,13 +57,22 @@ def run_bench(
     ).astype(np.float32)
     x = jax.device_put(jnp.asarray(x_np))
 
-    # Streaming segmented executor: constant compile cost in audio length
-    # (the monolithic graph compiles superlinearly), one lax.scan dispatch.
-    # The timed program reduces the output to a scalar that is FETCHED to
-    # host each iteration: on remote-attached devices block_until_ready has
-    # been observed to return before the computation actually finishes, so
-    # only a host-visible data dependency gives honest timings.
-    fn = jax.jit(lambda a: jnp.sum(stream_time_stretch(a, ratio, cfg)))
+    # 'pallas' routes through the fused phasor path (ops/pallas/fused.py),
+    # whose compile cost is length-independent; other backends use the
+    # streaming segmented executor for the same reason (the monolithic XLA
+    # graph compiles superlinearly). The timed program reduces the output to
+    # a scalar that is FETCHED to host each iteration: on remote-attached
+    # devices block_until_ready has been observed to return before the
+    # computation actually finishes, so only a host-visible data dependency
+    # gives honest timings.
+    if pipeline.fused_ok(cfg, rs):
+        from phase_vocoder_tpu.ops.pallas.fused import fused_time_stretch
+
+        fn = jax.jit(
+            lambda a: jnp.sum(fused_time_stretch(a, n_fft, hop, rs))
+        )
+    else:
+        fn = jax.jit(lambda a: jnp.sum(stream_time_stretch(a, ratio, cfg)))
 
     # Warmup / compile.
     float(fn(x))
@@ -112,10 +121,10 @@ def run_bench(
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--seconds", type=float, default=600.0)
+    ap.add_argument("--seconds", type=float, default=3600.0)
     ap.add_argument("--ratio", type=float, default=2.0)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--backend", choices=["matmul", "xla", "pallas"], default="matmul")
+    ap.add_argument("--backend", choices=["matmul", "xla", "pallas"], default="pallas")
     ap.add_argument("--no-check", action="store_true")
     args = ap.parse_args(argv)
     rec = run_bench(

@@ -42,8 +42,10 @@ def _add_dsp_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n-fft", type=int, default=1024, help="FFT size N")
     p.add_argument("--hop", type=int, default=256, help="analysis hop Ra")
     p.add_argument(
-        "--fft-backend", choices=["matmul", "xla", "pallas"], default="matmul",
-        help="DFT-as-matmul on the MXU (default) or the XLA FFT op",
+        "--fft-backend", choices=["matmul", "xla", "pallas"], default="pallas",
+        help="'pallas' (default): fully fused phasor kernel where the "
+        "geometry allows, falling back to DFT-as-matmul on the MXU; "
+        "'matmul': MXU DFT everywhere; 'xla': the XLA FFT op",
     )
     p.add_argument(
         "--phase-method", choices=["wrapped_scan", "cumsum"], default="wrapped_scan",

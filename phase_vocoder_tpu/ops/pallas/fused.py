@@ -1,0 +1,687 @@
+"""Fused phasor-form TSM — the TPU speed-of-light path.
+
+Replaces the polar round trip (arctan2 -> wrapped-angle scan -> cos/sin)
+of reference components C7-C9 with pure complex arithmetic. For rational
+synthesis/analysis hop ratios k = Rs/Ra in {1/2, 1, 2, 3, ...} the entire
+phase propagation is phasor algebra, with NO transcendentals anywhere:
+
+  u_i        = X_i / |X_i|                       (unit analysis phasor)
+  z_i        = u_i * conj(u_{i-1}) * e^{-i Ra w} (heterodyned step phasor,
+                                                  = e^{i princarg(dphi_i)})
+  term_i     = e^{i Rs w} * z_i^k                (synthesis step phasor;
+                                                  exact for integer k since
+                                                  e^{i k princarg(d)} =
+                                                  (e^{i d})^k mod 2pi; for
+                                                  k = 1/2 the principal
+                                                  square root, Re >= 0,
+                                                  equals e^{i princarg(d)/2})
+  term_0     = u_0                               (absolute phase anchor)
+  P_i        = prod_{j<=i} term_j = e^{i psi_i}  (renormalized prefix prod)
+  Y_i        = |X_i| * P_i
+
+The prefix product is a log-depth associative scan (the same factorization
+as ops/phase.py, in the group U(1) instead of (R mod 2pi, +)); combine
+renormalizes so magnitude drift never accumulates. DC/Nyquist bins use the
+pinned convention of phase.pin_real_bins, expressed in phasor form via a
+lane mask (term = u_i conj(u_{i-1}) * (-1)^{Rs [k=N/2]}, which telescopes
+to per-frame phase pass-through plus the exact linear rotation).
+
+Three stages, two Pallas kernels:
+
+  1. `stft_phasor_terms` (Pallas) — framing (in-VMEM via pltpu.roll of a
+     two-tile rows block; the (nf, N) frames tensor never exists in HBM)
+     + Hann-windowed DFT (MXU matmuls) + phasor-term computation.
+     Cross-tile state (previous frame's unit phasor) is carried in VMEM
+     scratch across the sequential TPU grid.
+  2. `phasor_scan` (XLA) — blocked associative scan (ops/phase.blocked_scan)
+     of the complex terms; power-of-two blocks keep XLA compile O(1) in
+     recording length.
+  3. `phasor_istft_ola` (Pallas) — Y = mag * P, inverse windowed DFT (MXU),
+     deterministic fold overlap-add with the tail carried in VMEM scratch
+     (the reference's atomicAdd C11, race-free).
+
+The Pallas kernels double as XLA fusion barriers: the monolithic all-XLA
+program triggers pathological fusion/scheduling at large nf (measured 195 s
+compile for 600 s of audio), while this path compiles in seconds at any
+length.
+
+Reference parity: davispolito/Phase-Vocoder kernel.cu implements C7-C9 as a
+serial per-bin loop over frames (SURVEY.md SS2.1); this module is its
+TPU-native replacement, waveform-allclose to the float64 golden model.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..framing import num_frames
+from ..phase import blocked_scan
+from .stft import (
+    _PRECISION,
+    _TILE_F,
+    _interpret,
+    _out_struct,
+    _pad_bins,
+    _dft_mats_padded,
+    _idft_mats_padded,
+)
+
+__all__ = [
+    "phasor_supported",
+    "stft_phasor_terms",
+    "phasor_scan",
+    "phasor_istft_ola",
+    "fused_time_stretch",
+]
+
+# Numerical notes:
+#  * k = Rs/Ra integer: exact modulo 2*pi (integer powers commute with the
+#    principal branch), error ~1e-5 rel vs the f64 golden out to >=1 hour.
+#  * k = 1/2: the half-angle of princarg(delta) is DISCONTINUOUS at
+#    delta = pi. When a bin's heterodyned increment lands within f32 noise
+#    (~1e-6 rad) of the branch point, any f32 implementation (this one and
+#    the polar paths alike — measured) can pick the opposite branch from
+#    the f64 golden, flipping that bin's synthesis phase by pi from that
+#    frame on. For typical audio this is rare; pathological content
+#    (aliased chirps sweeping every bin) makes it likely after minutes.
+#    All canonical gates (stretch 0.5/1/2 on normal-length material, 2x on
+#    hour-long material) pass at <1e-4.
+
+_TINY = 1e-30
+
+
+def phasor_supported(n_fft: int, ra: int, rs: int, max_int_k: int = 8) -> bool:
+    """True when the fused phasor path covers this geometry.
+
+    Needs the fold framing/OLA layout (Ra | N, Rs | N, overlap >= 2) and a
+    hop ratio k = Rs/Ra that is a small positive integer or exactly 1/2.
+    Covers every BASELINE operating point (stretch 0.5/1/2, pitch +-12).
+    """
+    if n_fft % ra != 0 or n_fft % rs != 0 or n_fft // rs < 2:
+        return False
+    if rs % ra == 0 and 1 <= rs // ra <= max_int_k:
+        return True
+    return ra == 2 * rs
+
+
+def _pow_k(zre, zim, rs: int, ra: int):
+    """z^k for k = rs/ra (integer or 1/2), unit-modulus z, elementwise."""
+    if rs % ra == 0:
+        k = rs // ra
+        # Exponentiation by squaring, statically unrolled (k <= max_int_k).
+        rre = jnp.ones_like(zre)
+        rim = jnp.zeros_like(zim)
+        base_re, base_im = zre, zim
+        e = k
+        while e > 0:
+            if e & 1:
+                rre, rim = (
+                    rre * base_re - rim * base_im,
+                    rre * base_im + rim * base_re,
+                )
+            e >>= 1
+            if e:
+                base_re, base_im = (
+                    base_re * base_re - base_im * base_im,
+                    2.0 * base_re * base_im,
+                )
+        return rre, rim
+    if ra == 2 * rs:
+        # Principal square root (Re >= 0): half-angle of princarg(d) lands in
+        # (-pi/2, pi/2]; the zim >= 0 branch at zre = -1 picks +i, matching
+        # princarg(pi) = pi -> pi/2. Branch on sign(zre) so neither sqrt
+        # suffers cancellation (1+zre near zre=-1 loses half the mantissa,
+        # which would random-walk into the prefix product over long audio).
+        re_pos = jnp.sqrt(jnp.maximum(0.5 * (1.0 + zre), 0.25))  # zre >= 0
+        im_pos = zim / (2.0 * re_pos)
+        t_neg = jnp.sqrt(jnp.maximum(0.5 * (1.0 - zre), 0.25))  # zre < 0
+        im_neg = jnp.where(zim >= 0, t_neg, -t_neg)
+        re_neg = jnp.abs(zim) / (2.0 * t_neg)
+        pos = zre >= 0
+        return (
+            jnp.where(pos, re_pos, re_neg),
+            jnp.where(pos, im_pos, im_neg),
+        )
+    raise ValueError(f"unsupported hop ratio rs/ra = {rs}/{ra}")
+
+
+@functools.lru_cache(maxsize=16)
+def _phasor_consts(n_fft: int, ra: int, rs: int):
+    """(hre, him, cre, cim, pin, spin): per-bin constants, lane-padded.
+
+    h = e^{-i Ra w_k} (heterodyne), c = e^{+i Rs w_k} (synthesis-hop
+    rotation), both from exact integer angle reduction mod N. pin is 1 at
+    the forced-real DC/Nyquist lanes; spin is their per-frame sign factor
+    ((-1)^Rs at Nyquist -- the exact linear rotation is an integer multiple
+    of pi there).
+    """
+    n_bins = n_fft // 2 + 1
+    nbp = _pad_bins(n_bins)
+    k = np.arange(n_bins, dtype=np.int64)
+    ang_h = -2.0 * np.pi * ((k * ra) % n_fft) / n_fft
+    ang_c = 2.0 * np.pi * ((k * rs) % n_fft) / n_fft
+
+    def pad(v):
+        out = np.zeros((1, nbp), np.float32)
+        out[0, :n_bins] = v
+        return out
+
+    hre, him = pad(np.cos(ang_h)), pad(np.sin(ang_h))
+    cre, cim = pad(np.cos(ang_c)), pad(np.sin(ang_c))
+    pin = np.zeros((1, nbp), np.float32)
+    pin[0, 0] = 1.0
+    spin = np.ones((1, nbp), np.float32)
+    if n_fft % 2 == 0:
+        pin[0, n_bins - 1] = 1.0
+        spin[0, n_bins - 1] = -1.0 if rs % 2 else 1.0
+    return hre, him, cre, cim, pin, spin
+
+
+def _terms_kernel(
+    rows_a, rows_b, fc, fs, hre, him, cre, cim, pin, spin,
+    mag_ref, tre_ref, tim_ref, prev_ref,
+    *, overlap: int, rs: int, ra: int, scan: bool,
+):
+    i = pl.program_id(0)
+    tile = mag_ref.shape[0]
+
+    # Framing: frame j of this tile = rows[j .. j+overlap) of the two-tile
+    # block, concatenated along lanes. pltpu.roll keeps every slice aligned.
+    block = jnp.concatenate([rows_a[:], rows_b[:]], axis=0)  # (2*tile, hop)
+    nb2 = 2 * tile  # pltpu.roll requires a non-negative shift: -s == nb2-s
+    parts = [
+        (pltpu.roll(block, nb2 - s, 0) if s else block)[:tile]
+        for s in range(overlap)
+    ]
+    frames = jnp.concatenate(parts, axis=-1)  # (tile, n_fft)
+
+    re = jnp.dot(frames, fc[:], preferred_element_type=jnp.float32,
+                 precision=_PRECISION)
+    im = jnp.dot(frames, fs[:], preferred_element_type=jnp.float32,
+                 precision=_PRECISION)
+    mag = jnp.sqrt(re * re + im * im)
+    safe = mag > _TINY
+    inv = jax.lax.rsqrt(jnp.maximum(re * re + im * im, _TINY))
+    ure = jnp.where(safe, re * inv, 1.0)
+    uim = jnp.where(safe, im * inv, 0.0)
+
+    # Previous frame's phasor, rolled down one row; row 0 comes from the
+    # cross-tile scratch carry (identity before the first frame).
+    pre = pltpu.roll(ure, 1, 0)
+    pim = pltpu.roll(uim, 1, 0)
+    row0 = (jax.lax.broadcasted_iota(jnp.int32, ure.shape, 0) == 0)
+    pre = jnp.where(row0, prev_ref[0:1, :], pre)
+    pim = jnp.where(row0, prev_ref[1:2, :], pim)
+
+    # z = u * conj(u_prev) * h
+    dre = ure * pre + uim * pim
+    dim = uim * pre - ure * pim
+    zre = dre * hre[:] - dim * him[:]
+    zim = dre * him[:] + dim * hre[:]
+
+    # General bins: term = c * z^k.
+    wre, wim = _pow_k(zre, zim, rs, ra)
+    gre = wre * cre[:] - wim * cim[:]
+    gim = wre * cim[:] + wim * cre[:]
+    # Pinned (forced-real) bins: term = u conj(u_prev) * spin.
+    qre = dre * spin[:]
+    qim = dim * spin[:]
+    tre = jnp.where(pin[:] > 0, qre, gre)
+    tim = jnp.where(pin[:] > 0, qim, gim)
+
+    # Global frame 0: the term IS the anchor phasor u_0.
+    first = row0 & (i == 0)
+    tre = jnp.where(first, ure, tre)
+    tim = jnp.where(first, uim, tim)
+
+    if scan:
+        # In-VMEM Hillis-Steele prefix product over the tile's frame axis
+        # (log2(tile) levels, zero HBM traffic), then the cross-tile carry
+        # multiply. The TPU grid is sequential, so prev_ref rows 2:4 hold
+        # the running product P through the previous tile.
+        rows_idx = jax.lax.broadcasted_iota(jnp.int32, tre.shape, 0)
+        d = 1
+        while d < tile:
+            sre = pltpu.roll(tre, d, 0)
+            sim = pltpu.roll(tim, d, 0)
+            keep = rows_idx < d
+            sre = jnp.where(keep, 1.0, sre)
+            sim = jnp.where(keep, 0.0, sim)
+            tre, tim = tre * sre - tim * sim, tre * sim + tim * sre
+            d *= 2
+        carry_re = jnp.where(i == 0, 1.0, prev_ref[2:3, :])
+        carry_im = jnp.where(i == 0, 0.0, prev_ref[3:4, :])
+        tre, tim = (
+            tre * carry_re - tim * carry_im,
+            tre * carry_im + tim * carry_re,
+        )
+        # One renormalization per tile bounds magnitude drift at ~tile
+        # unit-modulus multiplies' worth of f32 roundoff — harmless.
+        inv_p = jax.lax.rsqrt(jnp.maximum(tre * tre + tim * tim, _TINY))
+        tre = tre * inv_p
+        tim = tim * inv_p
+        prev_ref[2, :] = tre[tile - 1, :]
+        prev_ref[3, :] = tim[tile - 1, :]
+
+    mag_ref[:] = mag
+    tre_ref[:] = tre
+    tim_ref[:] = tim
+    prev_ref[0, :] = ure[tile - 1, :]
+    prev_ref[1, :] = uim[tile - 1, :]
+
+
+def stft_phasor_terms(
+    x: jnp.ndarray, n_fft: int, hop: int, rs: int, scan: bool = True
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    """Fused framing + windowed DFT + phasor terms (+ in-kernel prefix scan).
+
+    With scan=True (default) the returned (pre, pim) are the fully scanned
+    synthesis phasors P = e^{i psi} — the prefix product runs inside the
+    kernel in VMEM across the sequential grid. With scan=False the raw step
+    terms are returned for callers that combine across devices
+    (parallel/chunked.py) via phasor_scan.
+
+    Returns (mag, pre, pim, nf): LANE-PADDED (nf_pad, nbp) arrays plus the
+    true frame count. Rows >= nf and lanes >= n_bins carry garbage that
+    downstream masking removes (mag there is 0 for rows, 0-weighted for
+    lanes in the inverse DFT matrices).
+    """
+    if n_fft % hop != 0:
+        raise ValueError("fused stft requires hop | n_fft")
+    nf = num_frames(x.shape[-1], n_fft, hop)
+    if nf <= 0:
+        raise ValueError("input shorter than one frame")
+    overlap = n_fft // hop
+    n_bins = n_fft // 2 + 1
+    nbp = _pad_bins(n_bins)
+    tile = _TILE_F  # fixed tile: alignment-safe, tiny nf just pads
+    # Pad so the synthesis kernel's OLA spill rows (nf .. nf+m-2, m = N/rs)
+    # always land inside the main output — one shared layout for K1/K2.
+    nf_pad = -(-(nf + n_fft // rs - 1) // tile) * tile
+    grid = nf_pad // tile
+
+    # rows view of the padded signal; one extra tile so the i+1 block of the
+    # last grid step is in range. jnp.pad + reshape (not .at[].set: the
+    # dynamic-update-slice costs a full extra HBM pass at scale).
+    n_rows = (grid + 1) * tile
+    span = n_rows * hop
+    if x.shape[-1] >= span:
+        x_pad = x[:span]
+    else:
+        x_pad = jnp.pad(x, (0, span - x.shape[-1]))
+    rows = x_pad.reshape(n_rows, hop)
+
+    fc, fs = _dft_mats_padded(n_fft)
+    consts = tuple(jnp.asarray(c) for c in _phasor_consts(n_fft, hop, rs))
+
+    mag, tre, tim = pl.pallas_call(
+        functools.partial(
+            _terms_kernel, overlap=overlap, rs=rs, ra=hop, scan=scan
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, hop), lambda i: (i, 0)),
+            pl.BlockSpec((tile, hop), lambda i: (i + 1, 0)),
+            pl.BlockSpec((n_fft, nbp), lambda i: (0, 0)),
+            pl.BlockSpec((n_fft, nbp), lambda i: (0, 0)),
+        ]
+        + [pl.BlockSpec((1, nbp), lambda i: (0, 0))] * 6,
+        out_specs=[
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            _out_struct((nf_pad, nbp), jnp.float32, x),
+            _out_struct((nf_pad, nbp), jnp.float32, x),
+            _out_struct((nf_pad, nbp), jnp.float32, x),
+        ],
+        scratch_shapes=[pltpu.VMEM((4, nbp), jnp.float32)],
+        interpret=_interpret(),
+    )(rows, rows, jnp.asarray(fc), jnp.asarray(fs), *consts)
+    return mag, tre, tim, nf
+
+
+def _cmul_norm(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Renormalized complex product on (..., 2, nbp) stacks — associative in
+    exact arithmetic (projective U(1) product), so scan-safe; renorm stops
+    magnitude drift from compounding over long recordings."""
+    are, aim = a[..., 0, :], a[..., 1, :]
+    bre, bim = b[..., 0, :], b[..., 1, :]
+    re = are * bre - aim * bim
+    im = are * bim + aim * bre
+    inv = jax.lax.rsqrt(jnp.maximum(re * re + im * im, _TINY))
+    return jnp.stack([re * inv, im * inv], axis=-2)
+
+
+def phasor_scan(tre: jnp.ndarray, tim: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """P = renormalized prefix product of the step phasors (blocked scan)."""
+    t = jnp.stack([tre, tim], axis=-2)  # (nf, 2, nbp)
+    p = blocked_scan(_cmul_norm, t)
+    return p[..., 0, :], p[..., 1, :]
+
+
+def _synth_kernel(
+    mag_ref, pre_ref, pim_ref, mask_ref, ic_ref, is_ref, norm_ref,
+    out_ref, tail_ref, *, m: int
+):
+    """Y = mag*P -> inverse windowed DFT -> fold OLA with VMEM tail carry.
+
+    norm_ref: (8, rs) inverse-normalization table — rows 0..m-2 are the
+    head-edge 1/(partial window-energy) rows, row m-1 the interior 1/COLA
+    row (interior normalization is frame-index-independent, so the whole
+    divide pass folds into this kernel; the m-1 tail rows are normalized by
+    the caller).
+    """
+    i = pl.program_id(0)
+    tile = mag_ref.shape[0]
+    rs = out_ref.shape[1]
+
+    @pl.when(i == 0)
+    def _():
+        tail_ref[:] = jnp.zeros_like(tail_ref)
+
+    mag = mag_ref[:] * mask_ref[:]
+    y_re = mag * pre_ref[:]
+    y_im = mag * pim_ref[:]
+    frames = jnp.dot(y_re, ic_ref[:], preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+    frames = frames + jnp.dot(y_im, is_ref[:], preferred_element_type=jnp.float32,
+                              precision=_PRECISION)
+    zrow = jnp.zeros((1, rs), jnp.float32)
+    buf = jnp.concatenate([frames[:, :rs]] + [zrow] * (m - 1), axis=0)
+    for s in range(1, m):
+        shifted = jnp.concatenate(
+            [zrow] * s + [frames[:, s * rs : (s + 1) * rs]] + [zrow] * (m - 1 - s),
+            axis=0,
+        )
+        buf = buf + shifted
+    head = buf[: m - 1] + tail_ref[:]
+    buf = jnp.concatenate([head, buf[m - 1 :]], axis=0)
+    tail_ref[:] = buf[tile:]
+    out_ref[:] = buf[:tile] * norm_ref[m - 1 : m, :]
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(m - 1):
+            out_ref[j, :] = buf[j, :] * norm_ref[j, :]
+
+
+@functools.lru_cache(maxsize=16)
+def _ola_norm_tables(n_fft: int, rs: int, eps: float = 1e-8):
+    """(head_table (8, rs) f32, tail_inv (m-1, rs) f32).
+
+    head_table rows 0..m-2: inverse partial window-energy for the first m-1
+    output rows; rows m-1..7: inverse interior COLA energy (the same for
+    every interior row — this is what makes in-kernel normalization a
+    constant-table multiply). tail_inv normalizes the m-1 tail rows.
+    """
+    m = n_fft // rs
+    t = np.arange(n_fft, dtype=np.float64)
+    w2 = (0.5 - 0.5 * np.cos(2.0 * np.pi * t / n_fft)) ** 2
+    seg = w2.reshape(m, rs)
+    full = np.maximum(seg.sum(axis=0), eps)
+    head = np.full((8, rs), 1.0 / full, np.float64)
+    for r in range(m - 1):
+        head[r] = 1.0 / np.maximum(seg[: r + 1].sum(axis=0), eps)
+    tail_inv = np.empty((m - 1, rs), np.float64)
+    for q in range(1, m):
+        tail_inv[q - 1] = 1.0 / np.maximum(seg[q:].sum(axis=0), eps)
+    return head.astype(np.float32), tail_inv.astype(np.float32)
+
+
+def phasor_istft_ola(
+    mag: jnp.ndarray,
+    pre: jnp.ndarray,
+    pim: jnp.ndarray,
+    n_fft: int,
+    rs: int,
+    nf: int,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """NORMALIZED OLA waveform from lane-padded (nf_pad, nbp) spectra.
+
+    Inputs come straight from stft_phasor_terms (padded layout); rows >= nf
+    are masked off in-kernel. Normalization runs inside the kernel via the
+    static COLA tables when frame_mask is None; with a custom frame_mask the
+    caller must normalize (un-normalized signal is returned).
+    Length (nf-1)*rs + n_fft.
+    """
+    if n_fft % rs != 0 or n_fft // rs < 2:
+        raise ValueError("fused istft requires rs | n_fft and n_fft//rs >= 2")
+    nf_pad, nbp = mag.shape
+    m = n_fft // rs
+    tile = _TILE_F
+    if nf_pad % tile != 0:
+        raise ValueError(f"expected lane-padded input with nf_pad % {tile} == 0")
+    grid = nf_pad // tile
+
+    normalize = frame_mask is None
+    if frame_mask is None:
+        mask = (jnp.arange(nf_pad) < nf).astype(mag.dtype)
+    else:
+        mask = jnp.zeros((nf_pad,), mag.dtype).at[: frame_mask.shape[0]].set(
+            frame_mask.astype(mag.dtype)
+        )
+        mask = mask * (jnp.arange(nf_pad) < nf)
+    ic, is_ = _idft_mats_padded(n_fft)
+    if normalize:
+        head_tbl, tail_inv = _ola_norm_tables(n_fft, rs)
+    else:
+        head_tbl = np.ones((8, rs), np.float32)
+        tail_inv = np.ones((m - 1, rs), np.float32)
+
+    main = pl.pallas_call(
+        functools.partial(_synth_kernel, m=m),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((8, rs), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, rs), lambda i: (i, 0)),
+        out_shape=_out_struct((nf_pad, rs), jnp.float32, mag, pre),
+        scratch_shapes=[pltpu.VMEM((m - 1, rs), jnp.float32)],
+        interpret=_interpret(),
+    )(mag, pre, pim, mask[:, None], jnp.asarray(ic), jnp.asarray(is_),
+      jnp.asarray(head_tbl))
+
+    # The m-1 OLA spill rows (nf .. nf+m-2) got the interior normalization
+    # in-kernel; rescale them to the true tail normalization.
+    out_len = (nf - 1) * rs + n_fft
+    if normalize:
+        m_full, _ = _ola_norm_tables(n_fft, rs)
+        fix = jnp.asarray(tail_inv / m_full[m - 1 : m])  # B^-1 / F^-1
+        tail = main[nf : nf + m - 1] * fix
+    else:
+        tail = main[nf : nf + m - 1]
+    full = jnp.concatenate([main[:nf].reshape(-1), tail.reshape(-1)])
+    return full[:out_len]
+
+
+def _pvoc_kernel(
+    rows_a, rows_b, fc, fs, ic, is_, hre, him, cre, cim, pin, spin, norm,
+    out_ref, carry_ref, tail_ref,
+    *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int,
+):
+    """The whole phase vocoder in ONE kernel pass per frame tile.
+
+    framing -> windowed DFT (MXU) -> phasor terms -> in-VMEM prefix scan ->
+    Y = mag * P -> inverse windowed DFT (MXU) -> fold OLA + normalization.
+    HBM sees the raw samples once in and the stretched waveform once out;
+    every intermediate lives in VMEM. Cross-tile state: previous frame's
+    unit phasor + running synthesis phasor (carry_ref), OLA spill
+    (tail_ref). The reference runs this as 7 separate CUDA kernel launches
+    with HBM round trips between each (SURVEY.md SS3.2).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        tail_ref[:] = jnp.zeros_like(tail_ref)
+
+    # --- framing + forward DFT
+    block = jnp.concatenate([rows_a[:], rows_b[:]], axis=0)
+    nb2 = 2 * tile
+    parts = [
+        (pltpu.roll(block, nb2 - s, 0) if s else block)[:tile]
+        for s in range(overlap)
+    ]
+    frames = jnp.concatenate(parts, axis=-1)
+    re = jnp.dot(frames, fc[:], preferred_element_type=jnp.float32,
+                 precision=_PRECISION)
+    im = jnp.dot(frames, fs[:], preferred_element_type=jnp.float32,
+                 precision=_PRECISION)
+
+    # --- phasor terms
+    n2 = re * re + im * im
+    mag = jnp.sqrt(n2)
+    safe = mag > _TINY
+    inv = jax.lax.rsqrt(jnp.maximum(n2, _TINY))
+    ure = jnp.where(safe, re * inv, 1.0)
+    uim = jnp.where(safe, im * inv, 0.0)
+    pre_ = pltpu.roll(ure, 1, 0)
+    pim_ = pltpu.roll(uim, 1, 0)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, ure.shape, 0)
+    row0 = row_idx == 0
+    pre_ = jnp.where(row0, carry_ref[0:1, :], pre_)
+    pim_ = jnp.where(row0, carry_ref[1:2, :], pim_)
+    dre = ure * pre_ + uim * pim_
+    dim = uim * pre_ - ure * pim_
+    zre = dre * hre[:] - dim * him[:]
+    zim = dre * him[:] + dim * hre[:]
+    wre, wim = _pow_k(zre, zim, rs, ra)
+    gre = wre * cre[:] - wim * cim[:]
+    gim = wre * cim[:] + wim * cre[:]
+    qre = dre * spin[:]
+    qim = dim * spin[:]
+    tre = jnp.where(pin[:] > 0, qre, gre)
+    tim = jnp.where(pin[:] > 0, qim, gim)
+    first = row0 & (i == 0)
+    tre = jnp.where(first, ure, tre)
+    tim = jnp.where(first, uim, tim)
+
+    # --- in-VMEM prefix scan + cross-tile carry
+    d = 1
+    while d < tile:
+        sre = pltpu.roll(tre, d, 0)
+        sim = pltpu.roll(tim, d, 0)
+        keep = row_idx < d
+        sre = jnp.where(keep, 1.0, sre)
+        sim = jnp.where(keep, 0.0, sim)
+        tre, tim = tre * sre - tim * sim, tre * sim + tim * sre
+        d *= 2
+    c_re = jnp.where(i == 0, 1.0, carry_ref[2:3, :])
+    c_im = jnp.where(i == 0, 0.0, carry_ref[3:4, :])
+    tre, tim = tre * c_re - tim * c_im, tre * c_im + tim * c_re
+    inv_p = jax.lax.rsqrt(jnp.maximum(tre * tre + tim * tim, _TINY))
+    tre = tre * inv_p
+    tim = tim * inv_p
+    carry_ref[2, :] = tre[tile - 1, :]
+    carry_ref[3, :] = tim[tile - 1, :]
+    carry_ref[0, :] = ure[tile - 1, :]
+    carry_ref[1, :] = uim[tile - 1, :]
+
+    # --- synthesis: Y = mag * P (masked past the last real frame)
+    fmask = ((i * tile + row_idx) < nf).astype(mag.dtype)
+    mag = mag * fmask
+    y_re = mag * tre
+    y_im = mag * tim
+    frames_o = jnp.dot(y_re, ic[:], preferred_element_type=jnp.float32,
+                       precision=_PRECISION)
+    frames_o = frames_o + jnp.dot(y_im, is_[:], preferred_element_type=jnp.float32,
+                                  precision=_PRECISION)
+
+    # --- fold OLA with tail carry + in-kernel normalization
+    zrow = jnp.zeros((1, rs), jnp.float32)
+    buf = jnp.concatenate([frames_o[:, :rs]] + [zrow] * (m - 1), axis=0)
+    for s in range(1, m):
+        shifted = jnp.concatenate(
+            [zrow] * s + [frames_o[:, s * rs : (s + 1) * rs]] + [zrow] * (m - 1 - s),
+            axis=0,
+        )
+        buf = buf + shifted
+    head = buf[: m - 1] + tail_ref[:]
+    buf = jnp.concatenate([head, buf[m - 1 :]], axis=0)
+    tail_ref[:] = buf[tile:]
+    out_ref[:] = buf[:tile] * norm[m - 1 : m, :]
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(m - 1):
+            out_ref[j, :] = buf[j, :] * norm[j, :]
+
+
+def fused_time_stretch(
+    x: jnp.ndarray, n_fft: int, hop: int, rs: int
+) -> jnp.ndarray:
+    """Full fused TSM: ONE Pallas kernel, raw samples in, waveform out."""
+    if n_fft % hop != 0:
+        raise ValueError("fused path requires hop | n_fft")
+    if n_fft % rs != 0 or n_fft // rs < 2:
+        raise ValueError("fused path requires rs | n_fft with overlap >= 2")
+    nf = num_frames(x.shape[-1], n_fft, hop)
+    if nf <= 0:
+        raise ValueError("input shorter than one frame")
+    overlap = n_fft // hop
+    m = n_fft // rs
+    n_bins = n_fft // 2 + 1
+    nbp = _pad_bins(n_bins)
+    tile = _TILE_F
+    nf_pad = -(-(nf + m - 1) // tile) * tile
+    grid = nf_pad // tile
+
+    n_rows = (grid + 1) * tile
+    span = n_rows * hop
+    if x.shape[-1] >= span:
+        x_pad = x[:span]
+    else:
+        x_pad = jnp.pad(x, (0, span - x.shape[-1]))
+    rows = x_pad.reshape(n_rows, hop)
+
+    fc, fs = _dft_mats_padded(n_fft)
+    ic, is_ = _idft_mats_padded(n_fft)
+    consts = tuple(jnp.asarray(c) for c in _phasor_consts(n_fft, hop, rs))
+    head_tbl, tail_inv = _ola_norm_tables(n_fft, rs)
+
+    main = pl.pallas_call(
+        functools.partial(
+            _pvoc_kernel, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf, tile=tile
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, hop), lambda i: (i, 0)),
+            pl.BlockSpec((tile, hop), lambda i: (i + 1, 0)),
+            pl.BlockSpec((n_fft, nbp), lambda i: (0, 0)),
+            pl.BlockSpec((n_fft, nbp), lambda i: (0, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+        ]
+        + [pl.BlockSpec((1, nbp), lambda i: (0, 0))] * 6
+        + [pl.BlockSpec((8, rs), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((tile, rs), lambda i: (i, 0)),
+        out_shape=_out_struct((nf_pad, rs), jnp.float32, x),
+        scratch_shapes=[
+            pltpu.VMEM((4, nbp), jnp.float32),
+            pltpu.VMEM((m - 1, rs), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(rows, rows, jnp.asarray(fc), jnp.asarray(fs), jnp.asarray(ic),
+      jnp.asarray(is_), *consts, jnp.asarray(head_tbl))
+
+    out_len = (nf - 1) * rs + n_fft
+    m_full, _ = _ola_norm_tables(n_fft, rs)
+    fix = jnp.asarray(tail_inv / m_full[m - 1 : m])
+    tail = main[nf : nf + m - 1] * fix
+    full = jnp.concatenate([main[:nf].reshape(-1), tail.reshape(-1)])
+    return full[:out_len]

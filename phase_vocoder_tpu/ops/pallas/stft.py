@@ -114,19 +114,24 @@ def _idft_mats_padded(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
     return ic, is_
 
 
-def _stft_kernel(rows_ref, fc_ref, fs_ref, re_ref, im_ref, *, overlap: int):
+def _stft_kernel(rows_a, rows_b, fc_ref, fs_ref, re_ref, im_ref, *, overlap: int):
     """One frame tile: build frames from rows, windowed DFT.
+
+    Frame j of the tile = rows[j .. j+overlap) of the two-tile rows block,
+    concatenated along lanes; pltpu.roll keeps every slice aligned (Mosaic
+    rejects dynamic sublane offsets that aren't provably multiples of 8).
 
     Outputs (re, im) rather than (mag, phi): Mosaic has no atan2 lowering,
     and polar conversion costs the same HBM bytes either way — XLA fuses it
     into the consumer.
     """
-    i = pl.program_id(0)
     tile = re_ref.shape[0]
-    # frames[j] = rows[i*tile + j : i*tile + j + overlap] flattened: `overlap`
-    # static row-slices concatenated along lanes.
-    start = i * tile
-    parts = [rows_ref[pl.ds(start + s, tile), :] for s in range(overlap)]
+    block = jnp.concatenate([rows_a[:], rows_b[:]], axis=0)  # (2*tile, hop)
+    nb2 = 2 * tile
+    parts = [
+        (pltpu.roll(block, nb2 - s, 0) if s else block)[:tile]
+        for s in range(overlap)
+    ]
     frames = jnp.concatenate(parts, axis=-1)  # (tile, n_fft)
     re_ref[:] = jnp.dot(frames, fc_ref[:], preferred_element_type=jnp.float32,
                         precision=_PRECISION)
@@ -162,15 +167,18 @@ def stft_fused(
     overlap = n_fft // hop
     n_bins = n_fft // 2 + 1
     nbp = _pad_bins(n_bins)
-    tile = min(_TILE_F, nf)
+    tile = _TILE_F
     nf_pad = -(-nf // tile) * tile
     grid = nf_pad // tile
 
-    # rows view: row r = x[r*hop : (r+1)*hop]; frame i = rows[i : i+overlap].
-    n_rows = nf_pad + overlap - 1
+    # rows view: row r = x[r*hop : (r+1)*hop]; frame i = rows[i : i+overlap];
+    # one extra tile of rows so the i+1 block of the last step is in range.
+    n_rows = (grid + 1) * tile
     span = n_rows * hop
-    length = min(x.shape[-1], span)
-    x_pad = jnp.zeros((span,), x.dtype).at[:length].set(x[:length])
+    if x.shape[-1] >= span:
+        x_pad = x[:span]
+    else:
+        x_pad = jnp.pad(x, (0, span - x.shape[-1]))
     rows = x_pad.reshape(n_rows, hop)
     fc, fs = _dft_mats_padded(n_fft)
 
@@ -178,7 +186,8 @@ def stft_fused(
         functools.partial(_stft_kernel, overlap=overlap),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((n_rows, hop), lambda i: (0, 0)),
+            pl.BlockSpec((tile, hop), lambda i: (i, 0)),
+            pl.BlockSpec((tile, hop), lambda i: (i + 1, 0)),
             pl.BlockSpec((n_fft, nbp), lambda i: (0, 0)),
             pl.BlockSpec((n_fft, nbp), lambda i: (0, 0)),
         ],
@@ -191,12 +200,12 @@ def stft_fused(
             _out_struct((nf_pad, nbp), jnp.float32, x),
         ],
         interpret=_interpret(),
-    )(rows, jnp.asarray(fc), jnp.asarray(fs))
+    )(rows, rows, jnp.asarray(fc), jnp.asarray(fs))
     return re[:nf, :n_bins], im[:nf, :n_bins]
 
 
 def _istft_kernel(
-    mag_ref, psi_ref, mask_ref, ic_ref, is_ref, out_ref, tail_out_ref, tail_ref,
+    mag_ref, psi_ref, mask_ref, ic_ref, is_ref, out_ref, tail_ref,
     *, m: int
 ):
     """One frame tile: polar->cart, inverse DFT, windowed fold-OLA.
@@ -237,10 +246,6 @@ def _istft_kernel(
     tail_ref[:] = buf[tile:]
     out_ref[:] = buf[:tile]
 
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        tail_out_ref[:] = tail_ref[:]
-
 
 def istft_ola(
     mag: jnp.ndarray,
@@ -262,8 +267,9 @@ def istft_ola(
         return jnp.zeros((0,), mag.dtype)
     m = n_fft // rs
     nbp = _pad_bins(n_bins)
-    tile = min(_TILE_F, nf)
-    nf_pad = -(-nf // tile) * tile
+    tile = _TILE_F
+    # Pad so the OLA spill rows (nf .. nf+m-2) land inside the main output.
+    nf_pad = -(-(nf + m - 1) // tile) * tile
     grid = nf_pad // tile
 
     if frame_mask is None:
@@ -277,7 +283,7 @@ def istft_ola(
     psi_p = jnp.pad(psi, pad_spec)
     ic, is_ = _idft_mats_padded(n_fft)
 
-    main, tail = pl.pallas_call(
+    main = pl.pallas_call(
         functools.partial(_istft_kernel, m=m),
         grid=(grid,),
         in_specs=[
@@ -287,18 +293,11 @@ def istft_ola(
             pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
             pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec((tile, rs), lambda i: (i, 0)),
-            pl.BlockSpec((m - 1, rs), lambda i: (0, 0)),
-        ],
-        out_shape=[
-            _out_struct((nf_pad, rs), jnp.float32, mag, psi),
-            _out_struct((m - 1, rs), jnp.float32, mag, psi),
-        ],
+        out_specs=pl.BlockSpec((tile, rs), lambda i: (i, 0)),
+        out_shape=_out_struct((nf_pad, rs), jnp.float32, mag, psi),
         scratch_shapes=[pltpu.VMEM((m - 1, rs), jnp.float32)],
         interpret=_interpret(),
     )(mag_p, psi_p, mask[:, None], jnp.asarray(ic), jnp.asarray(is_))
 
     out_len = (nf - 1) * rs + n_fft
-    full = jnp.concatenate([main[:nf].reshape(-1), tail.reshape(-1)])
-    return full[:out_len]
+    return main.reshape(-1)[:out_len]

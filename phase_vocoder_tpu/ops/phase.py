@@ -124,6 +124,37 @@ def pin_real_bins(
     return psi
 
 
+def blocked_scan(fn, terms: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+    """Inclusive associative scan over axis 0 with bounded compile cost.
+
+    jax.lax.associative_scan at non-power-of-two lengths makes XLA's TPU
+    pipeline pathological (measured: 186 s compile at 3749 rows vs 1.1 s at
+    4096). This pads to B full power-of-two blocks of `block` rows, scans
+    within blocks, scans the B block totals, and broadcasts the exclusive
+    block prefix back — same O(log) depth, compile cost independent of
+    length. `fn` must be associative with 0 as identity under padding
+    (wrap_add and plain add both qualify: padded rows are zeros and their
+    results are sliced off).
+    """
+    nf = terms.shape[0]
+    if nf <= block:
+        # Pad to the next power of two; tiny lengths stay single-level.
+        p = 1
+        while p < nf:
+            p *= 2
+        tp = jnp.pad(terms, ((0, p - nf),) + ((0, 0),) * (terms.ndim - 1))
+        return jax.lax.associative_scan(fn, tp, axis=0)[:nf]
+    nb = -(-nf // block)
+    tp = jnp.pad(terms, ((0, nb * block - nf),) + ((0, 0),) * (terms.ndim - 1))
+    tp = tp.reshape((nb, block) + terms.shape[1:])
+    incl = jax.lax.associative_scan(fn, tp, axis=1)
+    totals = incl[:, -1]
+    prefix = jax.lax.associative_scan(fn, totals, axis=0)
+    excl = jnp.concatenate([jnp.zeros_like(prefix[:1]), prefix[:-1]])
+    out = fn(jnp.expand_dims(excl, 1), incl)
+    return out.reshape((nb * block,) + terms.shape[1:])[:nf]
+
+
 def accumulate_phase_residual(dphi: jnp.ndarray, ra: int, rs: int) -> jnp.ndarray:
     """Wrapped exclusive prefix sum of the residual terms (Rs/Ra)*dphi.
 
@@ -134,7 +165,7 @@ def accumulate_phase_residual(dphi: jnp.ndarray, ra: int, rs: int) -> jnp.ndarra
     scale = jnp.asarray(rs / ra, dtype=dphi.dtype)
     terms = princarg(scale * dphi)  # pre-wrap each term: mod is homomorphic
     zero = jnp.zeros((1, terms.shape[-1]), dtype=terms.dtype)
-    inclusive = jax.lax.associative_scan(wrap_add, terms, axis=0)
+    inclusive = blocked_scan(wrap_add, terms)
     return jnp.concatenate([zero, inclusive])
 
 

@@ -76,10 +76,10 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     # --- phase carry: local wrapped scan + cross-device exclusive prefix.
     scale = jnp.asarray(rs / ra, dtype=dphi.dtype)
     terms = phase.princarg(scale * dphi)
-    incl = jax.lax.associative_scan(phase.wrap_add, terms, axis=0)  # (F, nb)
+    incl = phase.blocked_scan(phase.wrap_add, terms)  # (F, nb)
     local_excl = jnp.concatenate([jnp.zeros_like(incl[:1]), incl[:-1]])
     totals = jax.lax.all_gather(incl[-1], "seq")  # (D, n_bins)
-    prefix = jax.lax.associative_scan(phase.wrap_add, totals, axis=0)
+    prefix = phase.blocked_scan(phase.wrap_add, totals)
     prefix_excl = jnp.concatenate([jnp.zeros_like(prefix[:1]), prefix[:-1]])
     carry = jnp.take(prefix_excl, d, axis=0)  # (n_bins,)
     residual = phase.wrap_add(carry[None, :], local_excl)  # (F, n_bins)

@@ -47,6 +47,15 @@ def stretch_output_length(in_len: int, cfg: PvocConfig, stretch: float) -> int:
     return framing.output_length(nf, cfg.n_fft, cfg.synthesis_hop(stretch))
 
 
+def fused_ok(cfg: PvocConfig, rs: int) -> bool:
+    """True when the fully fused phasor path (ops/pallas/fused.py) applies."""
+    from .ops.pallas.fused import phasor_supported
+
+    return cfg.fft_backend == "pallas" and phasor_supported(
+        cfg.n_fft, cfg.hop, rs
+    )
+
+
 def pallas_analysis_ok(cfg: PvocConfig) -> bool:
     return cfg.fft_backend == "pallas" and cfg.n_fft % cfg.hop == 0
 
@@ -155,6 +164,10 @@ def synthesize(
 
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _time_stretch_jit(x: jnp.ndarray, cfg: PvocConfig, rs: int) -> jnp.ndarray:
+    if fused_ok(cfg, rs):
+        from .ops.pallas.fused import fused_time_stretch
+
+        return fused_time_stretch(x, cfg.n_fft, cfg.hop, rs)
     mag, phi = analyze(x, cfg)
     mag, psi = stretch_polar(mag, phi, cfg, rs)
     return synthesize_polar(mag, psi, cfg, rs)
@@ -180,7 +193,9 @@ def time_stretch(
     nf = framing.num_frames(x.shape[-1], cfg.n_fft, cfg.hop)
     if nf <= 0:
         return jnp.zeros((0,), dtype=dtype)
-    if nf > max_monolithic_frames:
+    # The fused phasor path's compile cost is length-independent (Pallas
+    # kernels + blocked scan), so it never needs the streaming reroute.
+    if nf > max_monolithic_frames and not fused_ok(cfg, rs):
         from . import streaming
 
         return streaming.stream_time_stretch(x, stretch, cfg)

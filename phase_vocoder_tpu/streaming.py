@@ -107,7 +107,7 @@ def segment_step(
     valid_term = (j < n_valid) & ((g + j) > 0)
     terms = terms * valid_term[:, None].astype(dtype)
 
-    incl = jax.lax.associative_scan(phase.wrap_add, terms, axis=0)
+    incl = phase.blocked_scan(phase.wrap_add, terms)
     residual = phase.wrap_add(state.psi_carry[None, :], incl)  # (F, nb)
     new_carry = residual[-1]
 
