@@ -151,6 +151,46 @@ def _pow_k(zre, zim, rs: int, ra: int):
     raise ValueError(f"unsupported hop ratio rs/ra = {rs}/{ra}")
 
 
+def _split32(x):
+    """Split f32 into (hi, lo) bf16 whose sum reconstructs ~16 mantissa bits.
+
+    Integer bitmask split (truncate low 16 bits) — immune to the
+    --xla_allow_excess_precision rewrite that folds the arithmetic
+    round-trip split (a - f32(bf16(a))) into zero on this platform.
+    """
+    xi = pltpu.bitcast(x, jnp.uint32)
+    hi = pltpu.bitcast(xi & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = x - hi
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+def _dot_fast(a, bh_ref, bl_ref):
+    """3-pass bf16 emulation of an f32 matmul: ~1e-5 rel error at K=1024,
+    half the MXU passes of Precision.HIGHEST (which Mosaic runs as 6)."""
+    ah, al = _split32(a)
+    r = jnp.dot(ah, bh_ref[:], preferred_element_type=jnp.float32)
+    r = r + jnp.dot(ah, bl_ref[:], preferred_element_type=jnp.float32)
+    r = r + jnp.dot(al, bh_ref[:], preferred_element_type=jnp.float32)
+    return r
+
+
+@functools.lru_cache(maxsize=16)
+def _split_mat(key: str, n_fft: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side bitmask hi/lo bf16 split of the (windowed) DFT matrices."""
+    if key == "fwd":
+        mats = _dft_mats_padded(n_fft)
+    else:
+        mats = _idft_mats_padded(n_fft)
+    import ml_dtypes
+
+    out = []
+    for m in mats:
+        hi = (m.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+        lo = m - hi
+        out += [hi.astype(ml_dtypes.bfloat16), lo.astype(ml_dtypes.bfloat16)]
+    return tuple(out)
+
+
 @functools.lru_cache(maxsize=16)
 def _phasor_consts(n_fft: int, ra: int, rs: int):
     """(hre, him, cre, cim, pin, spin): per-bin constants, lane-padded.
@@ -510,9 +550,10 @@ def phasor_istft_ola(
 
 
 def _pvoc_kernel(
-    rows_a, rows_b, fc, fs, ic, is_, hre, him, cre, cim, pin, spin, norm,
+    rows_a, rows_b, fc, fs, ic, is_, icl, isl,
+    hre, him, cre, cim, pin, spin, norm,
     out_ref, carry_ref, tail_ref,
-    *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int,
+    *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int, fast: bool,
 ):
     """The whole phase vocoder in ONE kernel pass per frame tile.
 
@@ -538,6 +579,10 @@ def _pvoc_kernel(
         for s in range(overlap)
     ]
     frames = jnp.concatenate(parts, axis=-1)
+    # Forward DFT always at HIGHEST: the phasor u comes from (re, im), and
+    # DFT phase noise at weak bins blows through the princarg branch points
+    # (measured: 3-pass forward fails the 1e-4 gate at k=1/2, is marginal
+    # at k=2). The inverse DFT is amplitude-only — fast mode is safe there.
     re = jnp.dot(frames, fc[:], preferred_element_type=jnp.float32,
                  precision=_PRECISION)
     im = jnp.dot(frames, fs[:], preferred_element_type=jnp.float32,
@@ -558,11 +603,16 @@ def _pvoc_kernel(
     pim_ = jnp.where(row0, carry_ref[1:2, :], pim_)
     dre = ure * pre_ + uim * pim_
     dim = uim * pre_ - ure * pim_
-    zre = dre * hre[:] - dim * him[:]
-    zim = dre * him[:] + dim * hre[:]
-    wre, wim = _pow_k(zre, zim, rs, ra)
-    gre = wre * cre[:] - wim * cim[:]
-    gim = wre * cim[:] + wim * cre[:]
+    if rs % ra == 0:
+        # Integer k: e^{i Rs w} * (z h)^k == z^k exactly (Rs w == k Ra w
+        # cancels the heterodyne) — no constants needed at all.
+        gre, gim = _pow_k(dre, dim, rs, ra)
+    else:
+        zre = dre * hre[:] - dim * him[:]
+        zim = dre * him[:] + dim * hre[:]
+        wre, wim = _pow_k(zre, zim, rs, ra)
+        gre = wre * cre[:] - wim * cim[:]
+        gim = wre * cim[:] + wim * cre[:]
     qre = dre * spin[:]
     qim = dim * spin[:]
     tre = jnp.where(pin[:] > 0, qre, gre)
@@ -597,10 +647,14 @@ def _pvoc_kernel(
     mag = mag * fmask
     y_re = mag * tre
     y_im = mag * tim
-    frames_o = jnp.dot(y_re, ic[:], preferred_element_type=jnp.float32,
-                       precision=_PRECISION)
-    frames_o = frames_o + jnp.dot(y_im, is_[:], preferred_element_type=jnp.float32,
-                                  precision=_PRECISION)
+    if fast:
+        frames_o = _dot_fast(y_re, ic, icl) + _dot_fast(y_im, is_, isl)
+    else:
+        frames_o = jnp.dot(y_re, ic[:], preferred_element_type=jnp.float32,
+                           precision=_PRECISION)
+        frames_o = frames_o + jnp.dot(
+            y_im, is_[:], preferred_element_type=jnp.float32,
+            precision=_PRECISION)
 
     # --- fold OLA with tail carry + in-kernel normalization
     zrow = jnp.zeros((1, rs), jnp.float32)
@@ -623,9 +677,16 @@ def _pvoc_kernel(
 
 
 def fused_time_stretch(
-    x: jnp.ndarray, n_fft: int, hop: int, rs: int
+    x: jnp.ndarray, n_fft: int, hop: int, rs: int, fast: bool = True
 ) -> jnp.ndarray:
-    """Full fused TSM: ONE Pallas kernel, raw samples in, waveform out."""
+    """Full fused TSM: ONE Pallas kernel, raw samples in, waveform out.
+
+    fast=True (default) runs the INVERSE DFT matmuls as 3-pass hi/lo-bf16
+    splits (half the MXU passes of Precision.HIGHEST; ~1e-5 rel amplitude
+    error that does not accumulate). The forward DFT always runs at
+    HIGHEST — it feeds the phasor u, where weak-bin phase noise crosses
+    princarg branch points and corrupts the accumulated phase (measured).
+    """
     if n_fft % hop != 0:
         raise ValueError("fused path requires hop | n_fft")
     if n_fft % rs != 0 or n_fft // rs < 2:
@@ -650,23 +711,30 @@ def fused_time_stretch(
     rows = x_pad.reshape(n_rows, hop)
 
     fc, fs = _dft_mats_padded(n_fft)
-    ic, is_ = _idft_mats_padded(n_fft)
+    if fast:
+        ich, icl, ish, isl = _split_mat("inv", n_fft)
+        mats = (fc, fs, ich, ish, icl, isl)
+    else:
+        ic, is_ = _idft_mats_padded(n_fft)
+        z = np.zeros((8, 128), np.float32)  # unread dummies for lo slots
+        mats = (fc, fs, ic, is_, z, z)
     consts = tuple(jnp.asarray(c) for c in _phasor_consts(n_fft, hop, rs))
     head_tbl, tail_inv = _ola_norm_tables(n_fft, rs)
 
+    mat_specs = [
+        pl.BlockSpec(m_.shape, lambda i: (0, 0)) for m_ in mats
+    ]
     main = pl.pallas_call(
         functools.partial(
-            _pvoc_kernel, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf, tile=tile
+            _pvoc_kernel, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf,
+            tile=tile, fast=fast,
         ),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((tile, hop), lambda i: (i, 0)),
             pl.BlockSpec((tile, hop), lambda i: (i + 1, 0)),
-            pl.BlockSpec((n_fft, nbp), lambda i: (0, 0)),
-            pl.BlockSpec((n_fft, nbp), lambda i: (0, 0)),
-            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
-            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
         ]
+        + mat_specs
         + [pl.BlockSpec((1, nbp), lambda i: (0, 0))] * 6
         + [pl.BlockSpec((8, rs), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((tile, rs), lambda i: (i, 0)),
@@ -676,8 +744,8 @@ def fused_time_stretch(
             pltpu.VMEM((m - 1, rs), jnp.float32),
         ],
         interpret=_interpret(),
-    )(rows, rows, jnp.asarray(fc), jnp.asarray(fs), jnp.asarray(ic),
-      jnp.asarray(is_), *consts, jnp.asarray(head_tbl))
+    )(rows, rows, *(jnp.asarray(m_) for m_ in mats), *consts,
+      jnp.asarray(head_tbl))
 
     out_len = (nf - 1) * rs + n_fft
     m_full, _ = _ola_norm_tables(n_fft, rs)
