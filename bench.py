@@ -25,7 +25,7 @@ import numpy as np
 
 
 def run_bench(
-    seconds: float = 7200.0,
+    seconds: float = 14400.0,
     ratio: float = 2.0,
     sr: int = 16000,
     n_fft: int = 1024,
@@ -121,7 +121,7 @@ def run_bench(
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--seconds", type=float, default=7200.0)
+    ap.add_argument("--seconds", type=float, default=14400.0)
     ap.add_argument("--ratio", type=float, default=2.0)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--backend", choices=["matmul", "xla", "pallas"], default="pallas")

@@ -225,7 +225,7 @@ def _phasor_consts(n_fft: int, ra: int, rs: int):
 
 def _terms_kernel(
     rows_a, rows_b, fc, fs, hre, him, cre, cim, pin, spin,
-    mag_ref, tre_ref, tim_ref, prev_ref,
+    mag_ref, tre_ref, tim_ref, ure_ref, uim_ref, prev_ref,
     *, overlap: int, rs: int, ra: int, scan: bool,
 ):
     i = pl.program_id(0)
@@ -312,13 +312,20 @@ def _terms_kernel(
     mag_ref[:] = mag
     tre_ref[:] = tre
     tim_ref[:] = tim
+    ure_ref[:] = ure
+    uim_ref[:] = uim
     prev_ref[0, :] = ure[tile - 1, :]
     prev_ref[1, :] = uim[tile - 1, :]
 
 
 def stft_phasor_terms(
-    x: jnp.ndarray, n_fft: int, hop: int, rs: int, scan: bool = True
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    rs: int,
+    scan: bool = True,
+    return_u: bool = False,
+) -> tuple:
     """Fused framing + windowed DFT + phasor terms (+ in-kernel prefix scan).
 
     With scan=True (default) the returned (pre, pim) are the fully scanned
@@ -327,10 +334,12 @@ def stft_phasor_terms(
     terms are returned for callers that combine across devices
     (parallel/chunked.py) via phasor_scan.
 
-    Returns (mag, pre, pim, nf): LANE-PADDED (nf_pad, nbp) arrays plus the
-    true frame count. Rows >= nf and lanes >= n_bins carry garbage that
-    downstream masking removes (mag there is 0 for rows, 0-weighted for
-    lanes in the inverse DFT matrices).
+    Returns (mag, pre, pim, nf) — or (mag, pre, pim, ure, uim, nf) with
+    return_u=True (the unit analysis phasors, used by the sequence-parallel
+    path's cross-device boundary term). All LANE-PADDED (nf_pad, nbp)
+    arrays plus the true frame count. Rows >= nf and lanes >= n_bins carry
+    garbage that downstream masking removes (mag there is 0 for rows,
+    0-weighted for lanes in the inverse DFT matrices).
     """
     if n_fft % hop != 0:
         raise ValueError("fused stft requires hop | n_fft")
@@ -360,7 +369,7 @@ def stft_phasor_terms(
     fc, fs = _dft_mats_padded(n_fft)
     consts = tuple(jnp.asarray(c) for c in _phasor_consts(n_fft, hop, rs))
 
-    mag, tre, tim = pl.pallas_call(
+    mag, tre, tim, ure, uim = pl.pallas_call(
         functools.partial(
             _terms_kernel, overlap=overlap, rs=rs, ra=hop, scan=scan
         ),
@@ -372,19 +381,13 @@ def stft_phasor_terms(
             pl.BlockSpec((n_fft, nbp), lambda i: (0, 0)),
         ]
         + [pl.BlockSpec((1, nbp), lambda i: (0, 0))] * 6,
-        out_specs=[
-            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
-            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
-            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            _out_struct((nf_pad, nbp), jnp.float32, x),
-            _out_struct((nf_pad, nbp), jnp.float32, x),
-            _out_struct((nf_pad, nbp), jnp.float32, x),
-        ],
+        out_specs=[pl.BlockSpec((tile, nbp), lambda i: (i, 0))] * 5,
+        out_shape=[_out_struct((nf_pad, nbp), jnp.float32, x)] * 5,
         scratch_shapes=[pltpu.VMEM((4, nbp), jnp.float32)],
         interpret=_interpret(),
     )(rows, rows, jnp.asarray(fc), jnp.asarray(fs), *consts)
+    if return_u:
+        return mag, tre, tim, ure, uim, nf
     return mag, tre, tim, nf
 
 
@@ -405,6 +408,58 @@ def phasor_scan(tre: jnp.ndarray, tim: jnp.ndarray) -> tuple[jnp.ndarray, jnp.nd
     t = jnp.stack([tre, tim], axis=-2)  # (nf, 2, nbp)
     p = blocked_scan(_cmul_norm, t)
     return p[..., 0, :], p[..., 1, :]
+
+
+def phasor_prefix_exclusive(
+    tre: jnp.ndarray, tim: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exclusive renormalized prefix product along axis 0 (identity first).
+
+    Used for the cross-device phase carry: row d = product of rows < d of
+    the per-device phasor totals.
+    """
+    t = jnp.stack([tre, tim], axis=-2)
+    inc = blocked_scan(_cmul_norm, t)
+    ident = jnp.stack(
+        [jnp.ones_like(tre[:1]), jnp.zeros_like(tim[:1])], axis=-2
+    )
+    return (
+        jnp.concatenate([ident, inc[:-1]])[..., 0, :],
+        jnp.concatenate([ident, inc[:-1]])[..., 1, :],
+    )
+
+
+def boundary_step_term(
+    u0re: jnp.ndarray,
+    u0im: jnp.ndarray,
+    upre: jnp.ndarray,
+    upim: jnp.ndarray,
+    n_fft: int,
+    ra: int,
+    rs: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Step phasor crossing a chunk boundary (jnp twin of the kernel math).
+
+    u0 is a chunk's first analysis phasor, uprev the previous chunk's last;
+    returns the term e^{i (Rs w + k princarg(delta))} with the DC/Nyquist
+    pinning convention. Shapes: lane-padded (..., nbp).
+    """
+    hre, him, cre, cim, pin, spin = (
+        jnp.asarray(c)[0] for c in _phasor_consts(n_fft, ra, rs)
+    )
+    dre = u0re * upre + u0im * upim
+    dim = u0im * upre - u0re * upim
+    if rs % ra == 0:
+        gre, gim = _pow_k(dre, dim, rs, ra)
+    else:
+        zre = dre * hre - dim * him
+        zim = dre * him + dim * hre
+        wre, wim = _pow_k(zre, zim, rs, ra)
+        gre = wre * cre - wim * cim
+        gim = wre * cim + wim * cre
+    tre = jnp.where(pin > 0, dre * spin, gre)
+    tim = jnp.where(pin > 0, dim * spin, gim)
+    return tre, tim
 
 
 def _synth_kernel(

