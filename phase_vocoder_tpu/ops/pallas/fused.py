@@ -45,6 +45,14 @@ program triggers pathological fusion/scheduling at large nf (measured 195 s
 compile for 600 s of audio), while this path compiles in seconds at any
 length.
 
+The single-kernel path (`fused_time_stretch`/`_pvoc_kernel`) additionally
+PACKS the bin axis (_packed_mats): the two forced-real bins (DC, Nyquist)
+share lane 0 — DC in the re channel, Nyquist in the im channel, riding the
+identically-zero DC-sine column — so the matmul lane count is exactly
+n_fft//2 (512 at N=1024) instead of pad(n_fft//2+1) (640): 20% off every
+MXU pass. The split kernels below keep the unpacked pad(n_bins) layout the
+sequence-parallel path shares across devices.
+
 Reference parity: davispolito/Phase-Vocoder kernel.cu implements C7-C9 as a
 serial per-bin loop over frames (SURVEY.md SS2.1); this module is its
 TPU-native replacement, waveform-allclose to the float64 golden model.
@@ -164,30 +172,67 @@ def _split32(x):
     return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
-def _dot_fast(a, bh_ref, bl_ref):
-    """3-pass bf16 emulation of an f32 matmul: ~1e-5 rel error at K=1024,
-    half the MXU passes of Precision.HIGHEST (which Mosaic runs as 6)."""
+def _dot_bf16(a, bh_ref, bl_ref, passes: int):
+    """bf16-split emulation of an f32 matmul in `passes` MXU passes.
+
+    `a` is bitmask-split in-kernel (exact: bf16 IS the top 16 bits of f32);
+    the b refs hold the host-side hi/lo bf16 split. passes=3 drops the
+    al*bl cross term (~1e-5 rel error at K=1024); passes=4 keeps it
+    (~1e-6 — the residual is only the bf16 rounding of the lo halves).
+    Precision.HIGHEST costs 6 passes on this Mosaic by comparison."""
     ah, al = _split32(a)
     r = jnp.dot(ah, bh_ref[:], preferred_element_type=jnp.float32)
     r = r + jnp.dot(ah, bl_ref[:], preferred_element_type=jnp.float32)
     r = r + jnp.dot(al, bh_ref[:], preferred_element_type=jnp.float32)
+    if passes >= 4:
+        r = r + jnp.dot(al, bl_ref[:], preferred_element_type=jnp.float32)
     return r
 
 
-@functools.lru_cache(maxsize=16)
-def _split_mat(key: str, n_fft: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Host-side bitmask hi/lo bf16 split of the (windowed) DFT matrices."""
-    if key == "fwd":
-        mats = _dft_mats_padded(n_fft)
-    else:
-        mats = _idft_mats_padded(n_fft)
+def _bitsplit_host(m: np.ndarray):
+    """Host-side bitmask hi/lo bf16 split (hi exact, lo rounds to bf16)."""
     import ml_dtypes
 
+    hi = (m.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
+    lo = m - hi
+    return hi.astype(ml_dtypes.bfloat16), lo.astype(ml_dtypes.bfloat16)
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_mats(n_fft: int):
+    """PACKED forward/inverse windowed DFT matrices (f32).
+
+    Lane k holds bin k for k in [1, n_fft//2); lane 0 packs BOTH forced-real
+    bins — DC in the cos/re channel and Nyquist in the sin/im channel, whose
+    DC column (-sin(0)=0) / Nyquist column (-sin(pi t)=0) are identically
+    zero anyway. The bin axis shrinks from pad(n_fft//2+1) lanes to
+    pad(n_fft//2): at N=1024 that is 640 -> 512, i.e. 20% off every DFT
+    matmul in the monolithic kernel.
+    """
+    n_bins = n_fft // 2 + 1
+    nh = n_fft // 2
+    nbq = _pad_bins(nh)
+    fc, fs = _dft_mats_padded(n_fft)
+    ic, is_ = _idft_mats_padded(n_fft)
+    fcq = np.zeros((n_fft, nbq), np.float32)
+    fsq = np.zeros((n_fft, nbq), np.float32)
+    fcq[:, :nh] = fc[:, :nh]
+    fsq[:, :nh] = fs[:, :nh]
+    fsq[:, 0] = fc[:, n_bins - 1]  # Nyquist rides the zero DC-sine lane
+    icq = np.zeros((nbq, n_fft), np.float32)
+    isq = np.zeros((nbq, n_fft), np.float32)
+    icq[:nh] = ic[:nh]
+    isq[:nh] = is_[:nh]
+    isq[0] = ic[n_bins - 1]
+    return fcq, fsq, icq, isq
+
+
+@functools.lru_cache(maxsize=16)
+def _packed_split(n_fft: int):
+    """Bitmask hi/lo bf16 split of the packed matrices (8 arrays)."""
     out = []
-    for m in mats:
-        hi = (m.view(np.uint32) & np.uint32(0xFFFF0000)).view(np.float32)
-        lo = m - hi
-        out += [hi.astype(ml_dtypes.bfloat16), lo.astype(ml_dtypes.bfloat16)]
+    for m in _packed_mats(n_fft):
+        out += list(_bitsplit_host(m))
     return tuple(out)
 
 
@@ -221,6 +266,31 @@ def _phasor_consts(n_fft: int, ra: int, rs: int):
         pin[0, n_bins - 1] = 1.0
         spin[0, n_bins - 1] = -1.0 if rs % 2 else 1.0
     return hre, him, cre, cim, pin, spin
+
+
+@functools.lru_cache(maxsize=16)
+def _phasor_consts_packed(n_fft: int, ra: int, rs: int):
+    """(hre, him, cre, cim) for the PACKED lane layout (width pad(n_fft//2)).
+
+    No pin/spin masks: in the packed layout the forced-real bins share lane
+    0, which the monolithic kernel handles by direct pass-through (the
+    pinned convention telescopes to Y_i = X_i * spin^i) instead of running
+    them through the phasor-term machinery. Lane 0 values here are unused.
+    """
+    nh = n_fft // 2
+    nbq = _pad_bins(nh)
+    k = np.arange(nh, dtype=np.int64)
+    ang_h = -2.0 * np.pi * ((k * ra) % n_fft) / n_fft
+    ang_c = 2.0 * np.pi * ((k * rs) % n_fft) / n_fft
+
+    def pad(v):
+        out = np.zeros((1, nbq), np.float32)
+        out[0, :nh] = v
+        return out
+
+    return pad(np.cos(ang_h)), pad(np.sin(ang_h)), pad(np.cos(ang_c)), pad(
+        np.sin(ang_c)
+    )
 
 
 def _terms_kernel(
@@ -605,10 +675,11 @@ def phasor_istft_ola(
 
 
 def _pvoc_kernel(
-    rows_a, rows_b, fc, fs, ic, is_, icl, isl,
-    hre, him, cre, cim, pin, spin, norm,
+    rows_a, rows_b, fch, fcl, fsh, fsl, ich, icl, ish, isl,
+    hre, him, cre, cim, norm,
     out_ref, carry_ref, tail_ref,
-    *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int, fast: bool,
+    *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int,
+    fwd_passes: int, inv_passes: int,
 ):
     """The whole phase vocoder in ONE kernel pass per frame tile.
 
@@ -619,6 +690,19 @@ def _pvoc_kernel(
     unit phasor + running synthesis phasor (carry_ref), OLA spill
     (tail_ref). The reference runs this as 7 separate CUDA kernel launches
     with HBM round trips between each (SURVEY.md SS3.2).
+
+    Bin axis is PACKED (_packed_mats): lanes [1, n_fft//2) are the general
+    complex bins; lane 0 carries DC in the re channel and Nyquist in the im
+    channel. Both are forced-real pinned bins whose convention telescopes
+    to Y_i = X_i * spin^i (spin = +1 at DC, (-1)^Rs at Nyquist), so they
+    bypass the phasor machinery as a direct pass-through at the Y stage.
+
+    fwd_passes / inv_passes: 0 = f32 matmuls at Precision.HIGHEST (6 MXU
+    passes each on this Mosaic); 3/4 = hi/lo-bf16 split emulation via
+    _dot_bf16. The forward DFT feeds the phasor u where weak-bin phase
+    noise matters: 3-pass forward fails the 1e-4 gate at k=1/2 (measured),
+    4-pass holds ~1e-6 and passes every gate. The inverse is
+    amplitude-only — 3-pass is safe there.
     """
     i = pl.program_id(0)
 
@@ -634,16 +718,16 @@ def _pvoc_kernel(
         for s in range(overlap)
     ]
     frames = jnp.concatenate(parts, axis=-1)
-    # Forward DFT always at HIGHEST: the phasor u comes from (re, im), and
-    # DFT phase noise at weak bins blows through the princarg branch points
-    # (measured: 3-pass forward fails the 1e-4 gate at k=1/2, is marginal
-    # at k=2). The inverse DFT is amplitude-only — fast mode is safe there.
-    re = jnp.dot(frames, fc[:], preferred_element_type=jnp.float32,
-                 precision=_PRECISION)
-    im = jnp.dot(frames, fs[:], preferred_element_type=jnp.float32,
-                 precision=_PRECISION)
+    if fwd_passes:
+        re = _dot_bf16(frames, fch, fcl, fwd_passes)
+        im = _dot_bf16(frames, fsh, fsl, fwd_passes)
+    else:
+        re = jnp.dot(frames, fch[:], preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+        im = jnp.dot(frames, fsh[:], preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
 
-    # --- phasor terms
+    # --- phasor terms (general bins; packed lane 0 is overridden at Y)
     n2 = re * re + im * im
     mag = jnp.sqrt(n2)
     safe = mag > _TINY
@@ -661,17 +745,13 @@ def _pvoc_kernel(
     if rs % ra == 0:
         # Integer k: e^{i Rs w} * (z h)^k == z^k exactly (Rs w == k Ra w
         # cancels the heterodyne) — no constants needed at all.
-        gre, gim = _pow_k(dre, dim, rs, ra)
+        tre, tim = _pow_k(dre, dim, rs, ra)
     else:
         zre = dre * hre[:] - dim * him[:]
         zim = dre * him[:] + dim * hre[:]
         wre, wim = _pow_k(zre, zim, rs, ra)
-        gre = wre * cre[:] - wim * cim[:]
-        gim = wre * cim[:] + wim * cre[:]
-    qre = dre * spin[:]
-    qim = dim * spin[:]
-    tre = jnp.where(pin[:] > 0, qre, gre)
-    tim = jnp.where(pin[:] > 0, qim, gim)
+        tre = wre * cre[:] - wim * cim[:]
+        tim = wre * cim[:] + wim * cre[:]
     first = row0 & (i == 0)
     tre = jnp.where(first, ure, tre)
     tim = jnp.where(first, uim, tim)
@@ -698,17 +778,27 @@ def _pvoc_kernel(
     carry_ref[1, :] = uim[tile - 1, :]
 
     # --- synthesis: Y = mag * P (masked past the last real frame)
-    fmask = ((i * tile + row_idx) < nf).astype(mag.dtype)
-    mag = mag * fmask
-    y_re = mag * tre
-    y_im = mag * tim
-    if fast:
-        frames_o = _dot_fast(y_re, ic, icl) + _dot_fast(y_im, is_, isl)
+    gidx = i * tile + row_idx
+    fmask = (gidx < nf).astype(mag.dtype)
+    y_re = mag * fmask * tre
+    y_im = mag * fmask * tim
+    # Packed forced-real lane: Y_i = X_i * spin^i — pass-through, times an
+    # alternating Nyquist sign when Rs is odd ((-1)^{Rs i}).
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, mag.shape, 1) == 0
+    y_re = jnp.where(lane0, re * fmask, y_re)
+    if rs % 2:
+        nyq_sign = (1 - 2 * (gidx & 1)).astype(jnp.float32)
     else:
-        frames_o = jnp.dot(y_re, ic[:], preferred_element_type=jnp.float32,
+        nyq_sign = 1.0
+    y_im = jnp.where(lane0, im * (nyq_sign * fmask), y_im)
+    if inv_passes:
+        frames_o = _dot_bf16(y_re, ich, icl, inv_passes) + _dot_bf16(
+            y_im, ish, isl, inv_passes)
+    else:
+        frames_o = jnp.dot(y_re, ich[:], preferred_element_type=jnp.float32,
                            precision=_PRECISION)
         frames_o = frames_o + jnp.dot(
-            y_im, is_[:], preferred_element_type=jnp.float32,
+            y_im, ish[:], preferred_element_type=jnp.float32,
             precision=_PRECISION)
 
     # --- fold OLA with tail carry + in-kernel normalization
@@ -731,16 +821,27 @@ def _pvoc_kernel(
             out_ref[j, :] = buf[j, :] * norm[j, :]
 
 
+# bf16-split pass counts for fused_time_stretch(fast=True). The forward
+# DFT feeds the phasor u and must stay at HIGHEST (0): a 2-way bf16 split
+# caps at ~2^-17 absolute error, which shows up as weak-bin phase noise —
+# measured 1.34e-4 rel vs golden at k=2 (saturating, not growing, with
+# length) and ~1e-2 at k=1/2: both over the 1e-4 gate. The inverse is
+# amplitude-only, where the same 2^-17 is harmless: 3-pass passes every
+# gate with the error flat in recording length.
+_FWD_PASSES = 0
+_INV_PASSES = 3
+
+
 def fused_time_stretch(
     x: jnp.ndarray, n_fft: int, hop: int, rs: int, fast: bool = True
 ) -> jnp.ndarray:
     """Full fused TSM: ONE Pallas kernel, raw samples in, waveform out.
 
-    fast=True (default) runs the INVERSE DFT matmuls as 3-pass hi/lo-bf16
-    splits (half the MXU passes of Precision.HIGHEST; ~1e-5 rel amplitude
-    error that does not accumulate). The forward DFT always runs at
-    HIGHEST — it feeds the phasor u, where weak-bin phase noise crosses
-    princarg branch points and corrupts the accumulated phase (measured).
+    fast=True (default) runs the forward DFT matmuls as 4-pass and the
+    inverse as 3-pass hi/lo-bf16 splits (vs 6 MXU passes each at
+    Precision.HIGHEST; see _pvoc_kernel for the accuracy budget).
+    fast=False runs everything at HIGHEST. Both use the packed bin layout
+    (_packed_mats), so the matmul lane count is exactly n_fft//2.
     """
     if n_fft % hop != 0:
         raise ValueError("fused path requires hop | n_fft")
@@ -751,8 +852,7 @@ def fused_time_stretch(
         raise ValueError("input shorter than one frame")
     overlap = n_fft // hop
     m = n_fft // rs
-    n_bins = n_fft // 2 + 1
-    nbp = _pad_bins(n_bins)
+    nbq = _pad_bins(n_fft // 2)
     tile = _TILE_F
     nf_pad = -(-(nf + m - 1) // tile) * tile
     grid = nf_pad // tile
@@ -765,15 +865,19 @@ def fused_time_stretch(
         x_pad = jnp.pad(x, (0, span - x.shape[-1]))
     rows = x_pad.reshape(n_rows, hop)
 
-    fc, fs = _dft_mats_padded(n_fft)
+    fcq, fsq, icq, isq = _packed_mats(n_fft)
+    z = np.zeros((8, 128), np.float32)  # unread dummies for lo slots
+    fch, fcl, fsh, fsl, ich, icl, ish, isl = _packed_split(n_fft)
     if fast:
-        ich, icl, ish, isl = _split_mat("inv", n_fft)
-        mats = (fc, fs, ich, ish, icl, isl)
+        fwd_passes, inv_passes = _FWD_PASSES, _INV_PASSES
     else:
-        ic, is_ = _idft_mats_padded(n_fft)
-        z = np.zeros((8, 128), np.float32)  # unread dummies for lo slots
-        mats = (fc, fs, ic, is_, z, z)
-    consts = tuple(jnp.asarray(c) for c in _phasor_consts(n_fft, hop, rs))
+        fwd_passes = inv_passes = 0
+    mats = (
+        (fch, fcl, fsh, fsl) if fwd_passes else (fcq, z, fsq, z)
+    ) + ((ich, icl, ish, isl) if inv_passes else (icq, z, isq, z))
+    consts = tuple(
+        jnp.asarray(c) for c in _phasor_consts_packed(n_fft, hop, rs)
+    )
     head_tbl, tail_inv = _ola_norm_tables(n_fft, rs)
 
     mat_specs = [
@@ -782,7 +886,7 @@ def fused_time_stretch(
     main = pl.pallas_call(
         functools.partial(
             _pvoc_kernel, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf,
-            tile=tile, fast=fast,
+            tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
         ),
         grid=(grid,),
         in_specs=[
@@ -790,12 +894,12 @@ def fused_time_stretch(
             pl.BlockSpec((tile, hop), lambda i: (i + 1, 0)),
         ]
         + mat_specs
-        + [pl.BlockSpec((1, nbp), lambda i: (0, 0))] * 6
+        + [pl.BlockSpec((1, nbq), lambda i: (0, 0))] * 4
         + [pl.BlockSpec((8, rs), lambda i: (0, 0))],
         out_specs=pl.BlockSpec((tile, rs), lambda i: (i, 0)),
         out_shape=_out_struct((nf_pad, rs), jnp.float32, x),
         scratch_shapes=[
-            pltpu.VMEM((4, nbp), jnp.float32),
+            pltpu.VMEM((4, nbq), jnp.float32),
             pltpu.VMEM((m - 1, rs), jnp.float32),
         ],
         interpret=_interpret(),
