@@ -237,6 +237,91 @@ def _packed_split(n_fft: int):
 
 
 @functools.lru_cache(maxsize=16)
+def _fold_consts(n_fft: int):
+    """Even/odd-fold constants: (Mc, Ms, Ic2, Is2, rows8, R).
+
+    The real-input DFT splits over t <-> N-t symmetry: with e[t] =
+    w[t](x[t]+x[N-t]) and o[t] = w[t](x[t]-x[N-t]) (t in [1, N/2)),
+    re = E @ Mc and im = O @ Ms with HALF-length (N/2 x N/2) matrices —
+    half the MXU volume of the direct windowed DFT. Lane 0 of E carries
+    the self-paired sample x[N/2] (w[N/2] = 1; w[0] = 0 kills t=0), via
+    Mc row 0 = (-1)^k. The inverse uses the same symmetry backwards:
+    E' = y_re @ Ic2 (even part), Q' = y_im @ Is2 (odd part), lower half
+    y[t] = E'+Q', upper half y[N-t] = E'-Q' (reversed), y[N/2] and the
+    packed-Nyquist contributions via VPU lane reductions.
+
+    rows8 rows: 0 wE (w, lane0=0) | 1 wR (w, lane0=1) | 2 wO (w, lane0=0)
+    | 3 snyq ((-1)^t, lane0=(-1)^{N/2}) | 4 cnyq ((1/N)(-1)^t) | 5 v512
+    ((wk/N)(-1)^k) | 6 w_lo (w[:N/2]) | 7 w_hi (w[N/2:]).
+
+    R is the bf16 permutation with R[i,t] = [ (i+t) % L == 0 ]: x @ R is
+    the reversed-and-rolled view x[:, (L-t) mod L] used by both folds.
+    """
+    import ml_dtypes
+
+    N = n_fft
+    L = N // 2
+    assert L % 2 == 0, "fold requires n_fft % 4 == 0"
+    tpair = np.arange(1, L, dtype=np.float64)
+    k = np.arange(L, dtype=np.float64)
+    w = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(N, dtype=np.float64) / N)
+    ang = 2.0 * np.pi * np.outer(tpair, k) / N
+    Mc = np.zeros((L, L), np.float64)
+    Ms = np.zeros((L, L), np.float64)
+    Mc[1:] = np.cos(ang)
+    Mc[0] = (-1.0) ** k
+    Ms[1:] = -np.sin(ang)
+    wk = np.full(L, 2.0)
+    wk[0] = 1.0
+    angi = 2.0 * np.pi * np.outer(k, np.arange(L, dtype=np.float64)) / N
+    Ic2 = (wk[:, None] / N) * np.cos(angi)
+    Is2 = -(wk[:, None] / N) * np.sin(angi)
+    alt = (-1.0) ** np.arange(L, dtype=np.float64)
+    rows = np.zeros((8, L), np.float64)
+    rows[0, 1:] = w[1:L]
+    rows[1, 1:] = w[1:L]
+    rows[1, 0] = 1.0
+    rows[2, 1:] = w[1:L]
+    rows[3] = alt
+    rows[3, 0] = (-1.0) ** L
+    rows[4] = alt / N
+    rows[5] = (wk / N) * alt
+    rows[6] = w[:L]
+    rows[7] = w[L:]
+    R = np.zeros((L, L), np.float32)
+    idx = (L - np.arange(L)) % L
+    R[idx, np.arange(L)] = 1.0
+    return (
+        Mc.astype(np.float32),
+        Ms.astype(np.float32),
+        Ic2.astype(np.float32),
+        Is2.astype(np.float32),
+        rows.astype(np.float32),
+        R.astype(ml_dtypes.bfloat16),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _fold_inv_split(n_fft: int):
+    """Bitmask hi/lo bf16 split of the folded inverse matrices."""
+    _, _, Ic2, Is2, _, _ = _fold_consts(n_fft)
+    return _bitsplit_host(Ic2) + _bitsplit_host(Is2)
+
+
+def _rev_lanes(x, rev_ref):
+    """x[:, (L-t) mod L] as an EXACT 2-pass bf16 permutation matmul.
+
+    The in-kernel bitmask split makes each pass a value*1.0 product
+    (exact) and hi+lo reconstructs the f32 value exactly. Mosaic has no
+    native lane-reversal lowering; two bf16 passes cost ~1/10 of the
+    folded DFT stack they enable.
+    """
+    xh, xl = _split32(x)
+    r = jnp.dot(xh, rev_ref[:], preferred_element_type=jnp.float32)
+    return r + jnp.dot(xl, rev_ref[:], preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=16)
 def _phasor_consts(n_fft: int, ra: int, rs: int):
     """(hre, him, cre, cim, pin, spin): per-bin constants, lane-padded.
 
@@ -675,11 +760,11 @@ def phasor_istft_ola(
 
 
 def _pvoc_kernel(
-    rows_a, rows_b, fch, fcl, fsh, fsl, ich, icl, ish, isl,
+    rows_a, rows_b, fch, fcl, fsh, fsl, ich, icl, ish, isl, rev, frows,
     hre, him, cre, cim, norm,
     out_ref, carry_ref, tail_ref,
     *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int,
-    fwd_passes: int, inv_passes: int,
+    fwd_passes: int, inv_passes: int, fold: bool,
 ):
     """The whole phase vocoder in ONE kernel pass per frame tile.
 
@@ -718,7 +803,26 @@ def _pvoc_kernel(
         for s in range(overlap)
     ]
     frames = jnp.concatenate(parts, axis=-1)
-    if fwd_passes:
+    if fold:
+        # Even/odd fold (see _fold_consts): half-length matmuls at the
+        # same HIGHEST precision, plus one exact permutation for the
+        # reversed view and a VPU lane reduction for the packed Nyquist.
+        n_fft = overlap * ra
+        L = n_fft // 2
+        head = frames[:, :L]
+        r = _rev_lanes(frames[:, L:], rev)
+        wE = frows[0:1, :]
+        wh = wE * head
+        E = wh + frows[1:2, :] * r
+        O = wh - frows[2:3, :] * r
+        re = jnp.dot(E, fch[:], preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+        im = jnp.dot(O, fsh[:], preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1) == 0
+        nyq = jnp.sum(E * frows[3:4, :], axis=1, keepdims=True)
+        im = jnp.where(lane0, nyq, im)
+    elif fwd_passes:
         re = _dot_bf16(frames, fch, fcl, fwd_passes)
         im = _dot_bf16(frames, fsh, fsl, fwd_passes)
     else:
@@ -792,14 +896,29 @@ def _pvoc_kernel(
         nyq_sign = 1.0
     y_im = jnp.where(lane0, im * (nyq_sign * fmask), y_im)
     if inv_passes:
-        frames_o = _dot_bf16(y_re, ich, icl, inv_passes) + _dot_bf16(
-            y_im, ish, isl, inv_passes)
+        ep = _dot_bf16(y_re, ich, icl, inv_passes)
+        qp = _dot_bf16(y_im, ish, isl, inv_passes)
     else:
-        frames_o = jnp.dot(y_re, ich[:], preferred_element_type=jnp.float32,
-                           precision=_PRECISION)
-        frames_o = frames_o + jnp.dot(
-            y_im, ish[:], preferred_element_type=jnp.float32,
-            precision=_PRECISION)
+        ep = jnp.dot(y_re, ich[:], preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+        qp = jnp.dot(y_im, ish[:], preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+    if fold:
+        # Unfold: lower half y[t] = E'+Q', upper half y[N-t] = E'-Q'
+        # (reversed view), y[N/2] and the Nyquist spectral line via VPU
+        # lane reductions; window applied per half. Is2 row 0 is zero, so
+        # the packed-Nyquist im lane never pollutes Q'.
+        nyqv = y_im[:, 0:1]
+        e2 = ep + nyqv * frows[4:5, :]
+        y_mid = jnp.sum(y_re * frows[5:6, :], axis=1, keepdims=True) + (
+            nyqv * (1.0 / n_fft)
+        )
+        lo = (e2 + qp) * frows[6:7, :]
+        d = _rev_lanes(e2 - qp, rev)
+        d = jnp.where(lane0, y_mid, d)
+        frames_o = jnp.concatenate([lo, d * frows[7:8, :]], axis=1)
+    else:
+        frames_o = ep + qp
 
     # --- fold OLA with tail carry + in-kernel normalization
     zrow = jnp.zeros((1, rs), jnp.float32)
@@ -865,16 +984,34 @@ def fused_time_stretch(
         x_pad = jnp.pad(x, (0, span - x.shape[-1]))
     rows = x_pad.reshape(n_rows, hop)
 
-    fcq, fsq, icq, isq = _packed_mats(n_fft)
+    import ml_dtypes
+
     z = np.zeros((8, 128), np.float32)  # unread dummies for lo slots
-    fch, fcl, fsh, fsl, ich, icl, ish, isl = _packed_split(n_fft)
+    zb = np.zeros((8, 128), ml_dtypes.bfloat16)
     if fast:
         fwd_passes, inv_passes = _FWD_PASSES, _INV_PASSES
     else:
         fwd_passes = inv_passes = 0
-    mats = (
-        (fch, fcl, fsh, fsl) if fwd_passes else (fcq, z, fsq, z)
-    ) + ((ich, icl, ish, isl) if inv_passes else (icq, z, isq, z))
+    # Even/odd fold applies when the half-length is lane-aligned; it
+    # halves the MXU volume of both DFT stages (fwd stays HIGHEST).
+    fold = nbq == n_fft // 2
+    if fold:
+        mc, ms, ic2, is2, rows8, rmat = _fold_consts(n_fft)
+        if inv_passes:
+            ich, icl, ish, isl = _fold_inv_split(n_fft)
+            inv_mats = (ich, icl, ish, isl)
+        else:
+            inv_mats = (ic2, z, is2, z)
+        mats = (mc, z, ms, z) + inv_mats + (rmat, rows8)
+        fwd_passes = 0  # fold always runs the forward at HIGHEST
+    else:
+        fcq, fsq, icq, isq = _packed_mats(n_fft)
+        fch, fcl, fsh, fsl, ich, icl, ish, isl = _packed_split(n_fft)
+        mats = (
+            ((fch, fcl, fsh, fsl) if fwd_passes else (fcq, z, fsq, z))
+            + ((ich, icl, ish, isl) if inv_passes else (icq, z, isq, z))
+            + (zb, z)
+        )
     consts = tuple(
         jnp.asarray(c) for c in _phasor_consts_packed(n_fft, hop, rs)
     )
@@ -887,6 +1024,7 @@ def fused_time_stretch(
         functools.partial(
             _pvoc_kernel, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf,
             tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
+            fold=fold,
         ),
         grid=(grid,),
         in_specs=[
