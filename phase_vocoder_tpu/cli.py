@@ -146,9 +146,11 @@ def _run_chunked(args) -> int:
 def _run_bench(args) -> int:
     import bench as bench_mod  # repo-root bench harness
 
-    return bench_mod.main(
-        ["--seconds", str(args.seconds), "--ratio", str(args.ratio)]
-    )
+    argv = ["--seconds", str(args.seconds), "--ratio", str(args.ratio)]
+    if args.scaling:
+        argv += ["--scaling", "--seconds-per-device",
+                 str(args.seconds_per_device)]
+    return bench_mod.main(argv)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -197,6 +199,9 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.add_argument("--seconds", type=float, default=600.0)
     p.add_argument("--ratio", type=float, default=2.0)
+    p.add_argument("--scaling", action="store_true",
+                   help="emit the multi-device scaling-efficiency report")
+    p.add_argument("--seconds-per-device", type=float, default=120.0)
     p.set_defaults(fn=_run_bench)
 
     return ap

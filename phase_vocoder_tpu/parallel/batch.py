@@ -39,6 +39,43 @@ def _batch_stretch_jit(
     return jax.vmap(one)(xs, n_valid_frames)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _batch_stretch_fused_jit(
+    xs: jnp.ndarray,
+    n_valid_frames: jnp.ndarray,
+    cfg: PvocConfig,
+    rs: int,
+    mesh: Mesh | None,
+) -> jnp.ndarray:
+    """Batched fused phasor path: ONE 2-D-grid Pallas kernel per shard.
+
+    A pallas_call is opaque to XLA's auto-partitioner, so the mesh case
+    wraps it in shard_map over "data" explicitly — each device runs the
+    batched kernel on its own B/D rows with zero collectives (DP).
+    """
+    from ..ops.pallas.fused import fused_time_stretch_batch
+
+    nf = framing.num_frames(xs.shape[-1], cfg.n_fft, cfg.hop)
+    out_len = framing.output_length(nf, cfg.n_fft, rs)
+
+    def body(xm, nm):
+        return fused_time_stretch_batch(
+            xm, cfg.n_fft, cfg.hop, rs, n_valid_frames=nm
+        )
+
+    if mesh is None:
+        ys = body(xs, n_valid_frames)
+    else:
+        ys = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )(xs, n_valid_frames)
+    return ys[:, :out_len]
+
+
 def batch_time_stretch(
     xs, stretch: float, cfg: PvocConfig = PvocConfig(), mesh: Mesh | None = None
 ) -> jnp.ndarray:
@@ -104,7 +141,19 @@ def batch_time_stretch_rs(
         n_valid_frames = jnp.full((xs.shape[0],), nf, dtype=jnp.int32)
     else:
         n_valid_frames = jnp.asarray(n_valid_frames, dtype=jnp.int32)
+    pad_rows = 0
     if mesh is not None:
+        # shard_map needs B % D == 0: pad with all-masked zero rows (their
+        # output is zero and is dropped before returning).
+        d = mesh.shape["data"]
+        pad_rows = (-xs.shape[0]) % d
+        if pad_rows:
+            xs = jnp.pad(xs, ((0, pad_rows), (0, 0)))
+            n_valid_frames = jnp.pad(n_valid_frames, (0, pad_rows))
         xs = jax.device_put(xs, NamedSharding(mesh, P("data")))
         n_valid_frames = jax.device_put(n_valid_frames, NamedSharding(mesh, P("data")))
-    return _batch_stretch_jit(xs, n_valid_frames, cfg, rs)
+    if pipeline.fused_ok(cfg, rs):
+        ys = _batch_stretch_fused_jit(xs, n_valid_frames, cfg, rs, mesh)
+    else:
+        ys = _batch_stretch_jit(xs, n_valid_frames, cfg, rs)
+    return ys[: ys.shape[0] - pad_rows] if pad_rows else ys

@@ -234,17 +234,101 @@ def _chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
     return fn(x_main, x_tail)
 
 
+def _chunked_body_fused_batch(
+    x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int
+):
+    """Batched fused chunk program: DP rows x SP chunks in one body.
+
+    Identical math to _chunked_body_fused with a leading (B_local,) batch
+    axis: the Pallas stages run as 2-D (batch, tile)-grid kernels
+    (stft_phasor_terms_batch / phasor_istft_ola_batch — per-row scratch
+    carry, no vmap misattribution), and the cross-device collectives carry
+    the batch axis along.
+    """
+    from ..ops.pallas.fused import (
+        boundary_step_term,
+        phasor_istft_ola_batch,
+        phasor_prefix_exclusive,
+        phasor_scan,
+        stft_phasor_terms_batch,
+    )
+
+    n, ra = cfg.n_fft, cfg.hop
+    B = x_sh.shape[0]
+    d = jax.lax.axis_index("seq")
+    left = [(i, i - 1) for i in range(1, D)]
+    right = [(i, i + 1) for i in range(D - 1)]
+
+    halo = jax.lax.ppermute(x_sh[:, : n - ra], "seq", left)
+    halo = jnp.where(d == D - 1, x_tail, halo)
+    mag, tre, tim, ure, uim, _ = stft_phasor_terms_batch(
+        jnp.concatenate([x_sh, halo], axis=-1), n, ra, rs,
+        scan=False, return_u=True,
+    )  # (B, F_pad, nbp)
+
+    u_last = jnp.stack([ure[:, F - 1], uim[:, F - 1]], axis=1)  # (B, 2, nbp)
+    u_prev = jax.lax.ppermute(u_last, "seq", right)
+    bre, bim = boundary_step_term(
+        ure[:, 0], uim[:, 0], u_prev[:, 0], u_prev[:, 1], n, ra, rs
+    )  # (B, nbp)
+    j = jnp.arange(tre.shape[1])
+    first = (j == 0)[None, :, None]
+    use_boundary = jnp.logical_and(first, d > 0)
+    tre = jnp.where(use_boundary, bre[:, None, :], tre)
+    tim = jnp.where(use_boundary, bim[:, None, :], tim)
+    valid = ((j < F) & (d * F + j < nf))[None, :, None]
+    tre = jnp.where(valid, tre, 1.0)
+    tim = jnp.where(valid, tim, 0.0)
+
+    pre_l, pim_l = jax.vmap(phasor_scan)(tre, tim)
+    totals = jax.lax.all_gather(
+        jnp.stack([pre_l[:, -1], pim_l[:, -1]], axis=1), "seq"
+    )  # (D, B, 2, nbp)
+    totals = totals.transpose(1, 0, 2, 3)  # (B, D, 2, nbp)
+    cre_all, cim_all = jax.vmap(phasor_prefix_exclusive)(
+        totals[:, :, 0], totals[:, :, 1]
+    )  # (B, D, nbp)
+    cre = jnp.take(cre_all, d, axis=1)  # (B, nbp)
+    cim = jnp.take(cim_all, d, axis=1)
+    pre = pre_l * cre[:, None, :] - pim_l * cim[:, None, :]
+    pim = pre_l * cim[:, None, :] + pim_l * cre[:, None, :]
+    inv = jax.lax.rsqrt(jnp.maximum(pre * pre + pim * pim, 1e-30))
+    pre, pim = pre * inv, pim * inv
+
+    mask = (d * F + jnp.arange(F) < nf).astype(mag.dtype)  # (F,)
+    mask_b = jnp.broadcast_to(mask[None], (B, F))
+    ola = phasor_istft_ola_batch(mag, pre, pim, n, rs, F, frame_mask=mask_b)
+    w = hann_window(n, dtype=mag.dtype)
+    norm = framing.ola_window_norm(
+        w, F, rs, eps=0.0, method="fold", frame_mask=mask
+    )  # (F*rs + n - rs,) — row-independent
+
+    tail_len = n - rs
+    recv_y = jax.lax.ppermute(ola[:, F * rs :], "seq", right)  # (B, n-rs)
+    recv_n = jax.lax.ppermute(norm[F * rs :], "seq", right)
+    main = ola[:, : F * rs] + jnp.pad(recv_y, ((0, 0), (0, F * rs - tail_len)))
+    main_norm = norm[: F * rs] + jnp.pad(recv_n, (0, F * rs - tail_len))
+    main_out = main / jnp.maximum(main_norm, _EPS)[None, :]
+    tail_out = ola[:, F * rs :] / jnp.maximum(norm[F * rs :], _EPS)[None, :]
+    return main_out, tail_out[:, None, :]
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _batched_chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
     """DP x SP: batch axis on mesh 'data', time-chunk axis on mesh 'seq'."""
     D = mesh.shape["seq"]
 
-    def body(xm, xt):  # (B_local, F*Ra), (B_local, N-Ra)
-        # vmap composes with the polar body only: the fused kernels carry
-        # cross-tile state in scratch keyed on pl.program_id(0), which a
-        # vmapped (batched-grid) pallas_call would misattribute.
-        one = functools.partial(_chunked_body, nf=nf, cfg=cfg, rs=rs, F=F, D=D)
-        return jax.vmap(one)(xm, xt)
+    if pipeline.fused_ok(cfg, rs):
+        body = functools.partial(
+            _chunked_body_fused_batch, nf=nf, cfg=cfg, rs=rs, F=F, D=D
+        )
+    else:
+
+        def body(xm, xt):  # (B_local, F*Ra), (B_local, N-Ra)
+            one = functools.partial(
+                _chunked_body, nf=nf, cfg=cfg, rs=rs, F=F, D=D
+            )
+            return jax.vmap(one)(xm, xt)
 
     fn = jax.shard_map(
         body,

@@ -75,3 +75,21 @@ def test_batched_chunked_2d_mesh():
         sl = slice(1024, len(single) - 1024)
         err = np.max(np.abs(ys[i][sl] - single[sl])) / np.max(np.abs(single[sl]))
         assert err < 5e-5, err
+
+
+def test_batched_chunked_2d_mesh_fused():
+    """DP x SP on the FUSED path: batched 2-D-grid Pallas kernels inside a
+    ('data','seq') shard_map — the full flagship program (VERDICT.md #4)."""
+    cfg = PvocConfig(fft_backend="pallas")
+    mesh = make_mesh_2d(2, 4)
+    xs = np.stack([make_test_signal(4.0, seed=0), make_test_signal(4.0, seed=1)])
+    for stretch in (0.5, 2.0):
+        ys = np.asarray(batched_chunked_time_stretch(xs, stretch, cfg, mesh=mesh))
+        for i in range(2):
+            single = np.asarray(time_stretch(xs[i], stretch, cfg))
+            assert ys.shape[1] == len(single)
+            sl = slice(1024, len(single) - 1024)
+            err = np.max(np.abs(ys[i][sl] - single[sl])) / np.max(
+                np.abs(single[sl])
+            )
+            assert err < 5e-5, (stretch, err)

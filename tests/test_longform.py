@@ -1,0 +1,85 @@
+"""Long-recording correctness gates (VERDICT.md round-1 missing #1).
+
+The f32 risk at scale is NOT cumsum drift (the phasor product telescopes
+for integer k and the wrapped scan is drift-free by construction) but
+ANCHOR CONDITIONING: bin k's synthesis phase inherits its frame-0 analysis
+phase, so a bin that is at the noise floor at t=0 and loud later carries an
+O(arith_noise / |X_k(0)|) phase offset forever. On broadband content (every
+bin anchored above the floor — the canonical test signal has a 5% noise
+floor) all paths hold <1e-4 vs golden out to >=10 min; on pathological
+content (pure chirp over a PCM16-quantization floor: anchor |X| ~ 1e-6 of
+peak) EVERY f32 implementation — fused, polar, and the reference's CUDA
+alike — lands ~1e-2 from the f64 oracle, and the oracle itself moves ~7e-3
+under 1e-7 input perturbations (measured; see .claude/skills/verify).
+
+Measured on TPU v5e (2026-08-19, fused fast path, 2.0x):
+    2 s: 1.7e-5   60 s: 1.7e-5   600 s: 2.4e-5   (flat in length)
+
+The 600 s case runs only when PVOC_SLOW_TESTS=1 (golden f64 + interpreter
+kernels at 37.5k frames take minutes on CPU); the 60 s case always runs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from golden import pv_ref
+from phase_vocoder_tpu import PvocConfig, time_stretch
+from phase_vocoder_tpu.ops.pallas.fused import fused_time_stretch
+from tests.conftest import make_test_signal
+
+N, RA = 1024, 256
+
+SLOW = os.environ.get("PVOC_SLOW_TESTS") == "1"
+
+
+def rel_err(a, b, edge=N):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    sl = slice(edge, len(b) - edge)
+    return np.max(np.abs(a[sl] - b[sl])) / np.max(np.abs(b[sl]))
+
+
+def test_fused_golden_one_minute():
+    """<1e-4 vs f64 golden at 60 s (3750 frames), fused fast path, 2x."""
+    import jax.numpy as jnp
+
+    x = make_test_signal(60.0).astype(np.float32)
+    ref = pv_ref.phase_vocoder(np.asarray(x, np.float64), 2.0, N, RA)
+    y = np.asarray(fused_time_stretch(jnp.asarray(x), N, RA, 512))
+    e = rel_err(y, ref)
+    assert e < 1e-4, e
+
+
+@pytest.mark.skipif(not SLOW, reason="set PVOC_SLOW_TESTS=1 (minutes on CPU)")
+@pytest.mark.parametrize("stretch", [0.5, 2.0])
+def test_fused_golden_ten_minutes(stretch):
+    """<1e-4 vs f64 golden at 600 s (37.5k frames) — the >=10-min gate."""
+    import jax.numpy as jnp
+
+    x = make_test_signal(600.0).astype(np.float32)
+    ref = pv_ref.phase_vocoder(np.asarray(x, np.float64), stretch, N, RA)
+    rs = PvocConfig().synthesis_hop(stretch)
+    y = np.asarray(fused_time_stretch(jnp.asarray(x), N, RA, rs))
+    e = rel_err(y, ref)
+    assert e < 1e-4, e
+
+
+@pytest.mark.skipif(not SLOW, reason="set PVOC_SLOW_TESTS=1 (minutes on CPU)")
+def test_streaming_and_chunked_golden_ten_minutes():
+    """The streaming executor and the 8-device chunked program hold the
+    same >=10-min gate (they share the polar wrapped-scan math)."""
+    from phase_vocoder_tpu.parallel.chunked import chunked_time_stretch
+    from phase_vocoder_tpu.parallel.mesh import make_mesh
+    from phase_vocoder_tpu.streaming import stream_time_stretch
+
+    x = make_test_signal(600.0)
+    ref = pv_ref.phase_vocoder(x, 2.0, N, RA)
+    cfg = PvocConfig()
+    y_s = np.asarray(stream_time_stretch(x, 2.0, cfg))
+    assert rel_err(y_s, ref) < 1e-4
+    y_c = np.asarray(
+        chunked_time_stretch(x, 2.0, cfg, mesh=make_mesh(8, axis="seq"))
+    )
+    assert rel_err(y_c, ref) < 1e-4

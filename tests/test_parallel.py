@@ -64,6 +64,39 @@ def test_batch_varied_ratios_and_lengths():
         assert interior_rel_err(y, single) < 5e-5
 
 
+def test_batch_fused_64_utterances():
+    """BASELINE config 4 at its canonical size: a 64-utterance DP batch on
+    the FUSED phasor path (2-D-grid Pallas kernel inside shard_map over
+    'data', 8 devices x 8 rows), ragged lengths, vs single-device fused and
+    vs golden."""
+    cfg = PvocConfig(fft_backend="pallas")
+    rng = np.random.default_rng(7)
+    xs = [
+        make_test_signal(float(rng.uniform(0.4, 0.9)), seed=100 + i)
+        for i in range(64)
+    ]
+    mesh = make_mesh(8, axis="data")
+    ys = batch_time_stretch_varied(xs, [2.0] * 64, cfg, mesh=mesh)
+    for i in (0, 13, 37, 63):
+        single = np.asarray(time_stretch(xs[i], 2.0, cfg))
+        assert len(ys[i]) == len(single)
+        assert interior_rel_err(ys[i], single) < 5e-5
+    ref = pv_ref.phase_vocoder(xs[5], 2.0, N, RA)
+    assert interior_rel_err(ys[5], ref) < 1e-4
+
+
+def test_batch_fused_matches_polar_batch(signal_1s):
+    """The fused batched kernel == the vmapped polar batch program."""
+    xs = np.stack([signal_1s, signal_1s[::-1], -signal_1s, 0.5 * signal_1s])
+    for stretch in (0.5, 2.0):
+        a = np.asarray(
+            batch_time_stretch(xs, stretch, PvocConfig(fft_backend="pallas"))
+        )
+        b = np.asarray(batch_time_stretch(xs, stretch, PvocConfig()))
+        for i in range(4):
+            assert interior_rel_err(a[i], b[i]) < 5e-5
+
+
 # --------------------------------------------------------- sequence parallel
 
 
