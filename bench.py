@@ -166,6 +166,91 @@ def run_bench(
     return rec
 
 
+def run_pitch_bench(
+    seconds: float = 60.0,
+    sr: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    iters: int = 3,
+    backend: str = "pallas",
+    semitones=(-12.0, -7.0, -5.0, 5.0, 7.0, 12.0),
+) -> dict:
+    """Pitch-shift throughput + correctness at octave AND non-octave shifts.
+
+    Octave shifts (+-12 st) quantize to rs in {128, 512} (rs | n_fft) and
+    ride the fused phasor kernel; non-octave shifts (e.g. -5 st -> rs=342)
+    break the fold-OLA divisibility and fall back to the polar path with
+    general scatter OLA — this bench measures exactly what that fallback
+    costs (VERDICT.md round-1 item 9).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from phase_vocoder_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from phase_vocoder_tpu import PvocConfig, pipeline
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from golden import pv_ref
+
+    cfg = PvocConfig(n_fft=n_fft, hop=hop, sample_rate=sr, fft_backend=backend)
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    x_np = (
+        0.5 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.3 * np.sin(2 * np.pi * (200.0 * t + 40.0 * t * t))
+        + 0.05 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_np))
+
+    per = {}
+    for s in semitones:
+        factor = 2.0 ** (s / 12.0)
+        rs = cfg.synthesis_hop(factor)
+        fused = pipeline.fused_ok(cfg, rs)
+
+        # Correctness gate on a 4 s slice vs the float64 golden model.
+        xs = x_np[: 4 * sr]
+        ref = pv_ref.pitch_shift(np.asarray(xs, np.float64), s, n_fft, hop)
+        ours = np.asarray(pipeline.pitch_shift(xs, s, cfg), np.float64)
+        m = min(len(ref), len(ours))
+        sl = slice(n_fft, m - n_fft)
+        err = float(np.max(np.abs(ours[sl] - ref[sl])) / np.max(np.abs(ref[sl])))
+
+        stretched_len = pipeline.stretch_output_length(len(x_np), cfg, factor)
+        out_len = int(round(stretched_len / factor))
+        fn = jax.jit(
+            lambda a, rs=rs, factor=factor, out_len=out_len: jnp.sum(
+                pipeline._pitch_shift_jit(a, cfg, rs, factor, out_len)
+            )
+        )
+        float(fn(x))  # warmup/compile
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fn(x))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        per[f"{s:+g}st"] = {
+            "audio_s_per_s": round(seconds / best, 1),
+            "path": "fused" if fused else "polar-scatter-ola",
+            "rs": rs,
+            "rel_err_vs_golden": round(err, 8),
+            "allclose_pass": bool(err < 1e-4),
+        }
+
+    return {
+        "metric": "pitch_shift_audio_seconds_per_second",
+        "unit": "audio-s/s",
+        "audio_seconds": seconds,
+        "device": str(jax.devices()[0]),
+        "fft_backend": backend,
+        "semitones": per,
+    }
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seconds", type=float, default=14400.0)
@@ -179,7 +264,16 @@ def main(argv=None) -> int:
              "(weak scaling of the chunked program over mesh sizes)",
     )
     ap.add_argument("--seconds-per-device", type=float, default=120.0)
+    ap.add_argument(
+        "--pitch", action="store_true",
+        help="emit the pitch-shift bench instead (octave shifts on the "
+             "fused kernel vs non-octave polar fallback, +-5/7/12 st)",
+    )
     args = ap.parse_args(argv)
+    if args.pitch:
+        rec = run_pitch_bench(iters=args.iters, backend=args.backend)
+        print(json.dumps(rec))
+        return 0
     if args.scaling:
         from phase_vocoder_tpu.utils.scaling import scaling_report
 

@@ -131,15 +131,40 @@ def _run_chunked(args) -> int:
     from .parallel.chunked import chunked_time_stretch
     from .parallel.mesh import make_mesh
 
+    import jax
+
+    multihost = args.coordinator is not None or args.num_processes is not None
+    if multihost:
+        # Multi-host bootstrap: one process per host contributes its local
+        # devices to a single global mesh; the chunked program's collectives
+        # ride ICI within a host and DCN across (parallel/distributed.py).
+        # On managed TPU pods all three flags may be omitted (auto-detected).
+        from .parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        mesh = distributed.global_mesh("seq")
+    else:
+        mesh = make_mesh(args.devices)
+
     x, sr = read_wav(args.input)
-    mesh = make_mesh(args.devices)
     t0 = time.perf_counter()
-    y = np.asarray(chunked_time_stretch(x, args.ratio, _cfg(args), mesh=mesh))
+    y = chunked_time_stretch(x, args.ratio, _cfg(args), mesh=mesh)
+    if multihost:
+        from jax.experimental import multihost_utils
+
+        y = multihost_utils.process_allgather(y, tiled=True)
+    y = np.asarray(y)
     dt = time.perf_counter() - t0
-    write_wav(args.output, y, sr)
-    emit_metric("chunked_audio_seconds_per_second",
-                audio_seconds_per_second(len(x), sr, dt), "audio-s/s",
-                devices=mesh.devices.size)
+    if not multihost or jax.process_index() == 0:
+        write_wav(args.output, y, sr)
+        emit_metric("chunked_audio_seconds_per_second",
+                    audio_seconds_per_second(len(x), sr, dt), "audio-s/s",
+                    devices=mesh.devices.size,
+                    processes=jax.process_count())
     return 0
 
 
@@ -193,6 +218,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ratio", type=float, required=True)
     p.add_argument("--devices", type=int, default=None,
                    help="mesh size (default: all visible devices)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address "
+                        "(run one pvoc process per host; omit all three "
+                        "flags on managed TPU pods for auto-detection)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total number of processes")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's rank")
     _add_dsp_args(p)
     p.set_defaults(fn=_run_chunked)
 

@@ -1000,7 +1000,7 @@ def phasor_istft_ola_batch(
 def _pvoc_tile(
     i, rows_a, rows_b, mats, consts, carry_ref, tail_ref, fmask,
     *, overlap: int, rs: int, ra: int, m: int, tile: int,
-    fwd_passes: int, inv_passes: int, fold: bool,
+    fwd_passes: int, inv_passes: int, fold: bool, ablate: str = "",
 ):
     """The whole phase vocoder in ONE kernel pass per frame tile.
 
@@ -1038,6 +1038,14 @@ def _pvoc_tile(
     fch, fcl, fsh, fsl, ich, icl, ish, isl, rev, frows = mats
     hre, him, cre, cim = consts
 
+    # ablate: "+"-joined stage names to cheapen/skip for per-stage timing
+    # attribution (scripts/tpu_profile.py) — the output is WRONG with any
+    # set; never set on a product path. "fwd1"/"inv1": the DFT matmuls as
+    # single bf16 passes; "rev": skip the fold lane reversals; "scan":
+    # skip the prefix scan; "terms": skip the phasor-term algebra.
+    skip = set(ablate.split("+")) if ablate else set()
+    rev_fn = (lambda v, _r: v) if "rev" in skip else _rev_lanes
+
     # --- framing + forward DFT
     block = jnp.concatenate([rows_a, rows_b], axis=0)
     nb2 = 2 * tile
@@ -1053,15 +1061,16 @@ def _pvoc_tile(
         n_fft = overlap * ra
         L = n_fft // 2
         head = frames[:, :L]
-        r = _rev_lanes(frames[:, L:], rev)
+        r = rev_fn(frames[:, L:], rev)
         wE = frows[0:1, :]
         wh = wE * head
         E = wh + frows[1:2, :] * r
         O = wh - frows[2:3, :] * r
+        fwd_prec = None if "fwd1" in skip else _PRECISION
         re = jnp.dot(E, fch, preferred_element_type=jnp.float32,
-                     precision=_PRECISION)
+                     precision=fwd_prec)
         im = jnp.dot(O, fsh, preferred_element_type=jnp.float32,
-                     precision=_PRECISION)
+                     precision=fwd_prec)
         lane0 = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1) == 0
         nyq = jnp.sum(E * frows[3:4, :], axis=1, keepdims=True)
         im = jnp.where(lane0, nyq, im)
@@ -1081,44 +1090,48 @@ def _pvoc_tile(
     inv = jax.lax.rsqrt(jnp.maximum(n2, _TINY))
     ure = jnp.where(safe, re * inv, 1.0)
     uim = jnp.where(safe, im * inv, 0.0)
-    pre_ = pltpu.roll(ure, 1, 0)
-    pim_ = pltpu.roll(uim, 1, 0)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, ure.shape, 0)
     row0 = row_idx == 0
-    pre_ = jnp.where(row0, carry_ref[0:1, :], pre_)
-    pim_ = jnp.where(row0, carry_ref[1:2, :], pim_)
-    dre = ure * pre_ + uim * pim_
-    dim = uim * pre_ - ure * pim_
-    if rs % ra == 0:
-        # Integer k: e^{i Rs w} * (z h)^k == z^k exactly (Rs w == k Ra w
-        # cancels the heterodyne) — no constants needed at all.
-        tre, tim = _pow_k(dre, dim, rs, ra)
+    if "terms" in skip:
+        tre, tim = ure, uim
     else:
-        zre = dre * hre - dim * him
-        zim = dre * him + dim * hre
-        wre, wim = _pow_k(zre, zim, rs, ra)
-        tre = wre * cre - wim * cim
-        tim = wre * cim + wim * cre
-    first = row0 & (i == 0)
-    tre = jnp.where(first, ure, tre)
-    tim = jnp.where(first, uim, tim)
+        pre_ = pltpu.roll(ure, 1, 0)
+        pim_ = pltpu.roll(uim, 1, 0)
+        pre_ = jnp.where(row0, carry_ref[0:1, :], pre_)
+        pim_ = jnp.where(row0, carry_ref[1:2, :], pim_)
+        dre = ure * pre_ + uim * pim_
+        dim = uim * pre_ - ure * pim_
+        if rs % ra == 0:
+            # Integer k: e^{i Rs w} * (z h)^k == z^k exactly (Rs w == k Ra w
+            # cancels the heterodyne) — no constants needed at all.
+            tre, tim = _pow_k(dre, dim, rs, ra)
+        else:
+            zre = dre * hre - dim * him
+            zim = dre * him + dim * hre
+            wre, wim = _pow_k(zre, zim, rs, ra)
+            tre = wre * cre - wim * cim
+            tim = wre * cim + wim * cre
+        first = row0 & (i == 0)
+        tre = jnp.where(first, ure, tre)
+        tim = jnp.where(first, uim, tim)
 
     # --- in-VMEM prefix scan + cross-tile carry
-    d = 1
-    while d < tile:
-        sre = pltpu.roll(tre, d, 0)
-        sim = pltpu.roll(tim, d, 0)
-        keep = row_idx < d
-        sre = jnp.where(keep, 1.0, sre)
-        sim = jnp.where(keep, 0.0, sim)
-        tre, tim = tre * sre - tim * sim, tre * sim + tim * sre
-        d *= 2
-    c_re = jnp.where(i == 0, 1.0, carry_ref[2:3, :])
-    c_im = jnp.where(i == 0, 0.0, carry_ref[3:4, :])
-    tre, tim = tre * c_re - tim * c_im, tre * c_im + tim * c_re
-    inv_p = jax.lax.rsqrt(jnp.maximum(tre * tre + tim * tim, _TINY))
-    tre = tre * inv_p
-    tim = tim * inv_p
+    if "scan" not in skip:
+        d = 1
+        while d < tile:
+            sre = pltpu.roll(tre, d, 0)
+            sim = pltpu.roll(tim, d, 0)
+            keep = row_idx < d
+            sre = jnp.where(keep, 1.0, sre)
+            sim = jnp.where(keep, 0.0, sim)
+            tre, tim = tre * sre - tim * sim, tre * sim + tim * sre
+            d *= 2
+        c_re = jnp.where(i == 0, 1.0, carry_ref[2:3, :])
+        c_im = jnp.where(i == 0, 0.0, carry_ref[3:4, :])
+        tre, tim = tre * c_re - tim * c_im, tre * c_im + tim * c_re
+        inv_p = jax.lax.rsqrt(jnp.maximum(tre * tre + tim * tim, _TINY))
+        tre = tre * inv_p
+        tim = tim * inv_p
     carry_ref[2, :] = tre[tile - 1, :]
     carry_ref[3, :] = tim[tile - 1, :]
     carry_ref[0, :] = ure[tile - 1, :]
@@ -1137,7 +1150,12 @@ def _pvoc_tile(
     else:
         nyq_sign = 1.0
     y_im = jnp.where(lane0, im * (nyq_sign * fmask), y_im)
-    if inv_passes:
+    if "inv1" in skip:
+        ep = jnp.dot(y_re.astype(jnp.bfloat16), ich,
+                     preferred_element_type=jnp.float32)
+        qp = jnp.dot(y_im.astype(jnp.bfloat16), ish,
+                     preferred_element_type=jnp.float32)
+    elif inv_passes:
         ep = _dot_bf16(y_re, ich, icl, inv_passes)
         qp = _dot_bf16(y_im, ish, isl, inv_passes)
     else:
@@ -1156,7 +1174,7 @@ def _pvoc_tile(
             nyqv * (1.0 / n_fft)
         )
         lo = (e2 + qp) * frows[6:7, :]
-        d = _rev_lanes(e2 - qp, rev)
+        d = rev_fn(e2 - qp, rev)
         d = jnp.where(lane0, y_mid, d)
         frames_o = jnp.concatenate([lo, d * frows[7:8, :]], axis=1)
     else:
@@ -1182,7 +1200,7 @@ def _pvoc_kernel(
     hre, him, cre, cim, norm,
     out_ref, carry_ref, tail_ref,
     *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int,
-    fwd_passes: int, inv_passes: int, fold: bool,
+    fwd_passes: int, inv_passes: int, fold: bool, ablate: str = "",
 ):
     """Single-recording wrapper: 1-D grid over frame tiles (see _pvoc_tile)."""
     i = pl.program_id(0)
@@ -1202,6 +1220,7 @@ def _pvoc_kernel(
         i, rows_a[:], rows_b[:], mats, consts, carry_ref, tail_ref, fmask,
         overlap=overlap, rs=rs, ra=ra, m=m, tile=tile,
         fwd_passes=fwd_passes, inv_passes=inv_passes, fold=fold,
+        ablate=ablate,
     )
     out_ref[:] = buf[:tile] * norm[m - 1 : m, :]
 
@@ -1308,7 +1327,13 @@ def _pvoc_mats(n_fft: int, fast: bool):
 
 
 def fused_time_stretch(
-    x: jnp.ndarray, n_fft: int, hop: int, rs: int, fast: bool = True
+    x: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    rs: int,
+    fast: bool = True,
+    tile: int | None = None,
+    ablate: str = "",
 ) -> jnp.ndarray:
     """Full fused TSM: ONE Pallas kernel, raw samples in, waveform out.
 
@@ -1319,6 +1344,10 @@ def fused_time_stretch(
     lane-aligned. fast=False runs BOTH DFT stages at HIGHEST through the
     packed non-fold layout — the full-precision escape hatch. Both use the
     packed bin layout (_packed_mats): matmul lane count exactly n_fft//2.
+
+    tile: frames per grid step (default _TILE_F; perf tuning knob).
+    ablate: stage-skip spec for scripts/tpu_profile.py ONLY — output is
+    wrong when set.
     """
     if n_fft % hop != 0:
         raise ValueError("fused path requires hop | n_fft")
@@ -1335,7 +1364,7 @@ def fused_time_stretch(
     overlap = n_fft // hop
     m = n_fft // rs
     nbq = _pad_bins(n_fft // 2)
-    tile = _TILE_F
+    tile = _TILE_F if tile is None else tile
     nf_pad = -(-(nf + m - 1) // tile) * tile
     grid = nf_pad // tile
 
@@ -1360,7 +1389,7 @@ def fused_time_stretch(
         functools.partial(
             _pvoc_kernel, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf,
             tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
-            fold=fold,
+            fold=fold, ablate=ablate,
         ),
         grid=(grid,),
         in_specs=[

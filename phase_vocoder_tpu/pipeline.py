@@ -204,9 +204,21 @@ def time_stretch(
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _pitch_shift_jit(x, cfg: PvocConfig, rs: int, factor: float, out_len: int):
-    mag, phi = analyze(x, cfg)
-    mag, psi = stretch_polar(mag, phi, cfg, rs)
-    y = synthesize_polar(mag, psi, cfg, rs)
+    if fused_ok(cfg, rs):
+        # Octave shifts (+-12 st -> k in {1/2, 2}) and any other geometry
+        # phasor_supported covers ride the single fused kernel; the linear
+        # resampler fuses into the same jitted program.
+        from .ops.pallas.fused import fused_time_stretch
+
+        y = fused_time_stretch(x, cfg.n_fft, cfg.hop, rs)
+    else:
+        # Non-octave semitones quantize to rs with rs ∤ n_fft (e.g. -5 st
+        # -> rs=342 at Ra=256): the fold OLA layout no longer applies, so
+        # the polar path with general scatter OLA runs instead (measured
+        # and documented in README / bench --pitch).
+        mag, phi = analyze(x, cfg)
+        mag, psi = stretch_polar(mag, phi, cfg, rs)
+        y = synthesize_polar(mag, psi, cfg, rs)
     return resample_linear(y, 1.0 / factor, out_len)
 
 

@@ -131,4 +131,16 @@ def scaling_report(
         "virtual_mesh": jax.default_backend() == "cpu",
         "rows": rows,
         "efficiency_at_max": rows[-1]["efficiency"] if rows else None,
+        "note": (
+            "virtual CPU mesh: all D 'devices' share ONE host's cores, so "
+            "measured weak-scaling efficiency is ~1/D by construction and "
+            "says nothing about ICI scaling; the hardware-relevant facts "
+            "here are the collective byte counts (constant ~17 KB send per "
+            "device, independent of D and of audio length) vs the "
+            "per-device sample I/O (seconds_per_device * sr * 4 B), giving "
+            "a comm/compute ratio < 1e-3 at 60 s/device — the analytic "
+            "basis for the >=80% target on real ICI"
+            if jax.default_backend() == "cpu"
+            else "real multi-device mesh: efficiency is directly measured"
+        ),
     }
