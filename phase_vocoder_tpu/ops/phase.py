@@ -34,11 +34,32 @@ import jax.numpy as jnp
 
 TWO_PI = 6.283185307179586
 
+# Split representation of 2*pi for EXACT wrapping in f32. f32(2*pi) sits
+# 1.748e-7 ABOVE the true value, so every princarg wrap event that
+# subtracts it injects a -1.748e-7 rad bias. For sweeping content (a chirp
+# moving through a bin) wrap events have a systematic sign, so the bias
+# accumulates LINEARLY in the phase-residual sum: measured 5.4e-3 waveform
+# rel err at 600 s / 2.0x on the streaming polar path (vs the fused phasor
+# path's flat 2.4e-5 — phasor products telescope and never wrap). Wrapping
+# with the (hi, lo) pair makes each wrap exact to ~f64: n*hi is exact for
+# the small n here, and n*lo restores the 1.748e-7 residue.
+_TWO_PI_HI = 6.2831854820251465  # == float(np.float32(2*pi))
+_TWO_PI_LO = TWO_PI - _TWO_PI_HI  # ~ -1.7484556e-7
+
 
 def princarg(x: jnp.ndarray) -> jnp.ndarray:
-    """Principal argument: wrap phase to (-pi, pi]. Matches golden princarg."""
-    pi = jnp.asarray(jnp.pi, dtype=x.dtype)
-    return pi - jnp.mod(pi - x, 2.0 * pi)
+    """Principal argument: wrap phase to (-pi, pi]. Matches golden princarg.
+
+    Exact split-constant wrap (see _TWO_PI_HI note): result is x - 2*pi*n
+    with the 2*pi multiple applied to ~f64 accuracy, so repeated wrapping
+    (the phase-residual scan) carries no systematic 2*pi-representation
+    bias. n = ceil(x/2pi - 1/2) puts the result in (-pi, pi], matching
+    golden/pv_ref.py's `pi - mod(pi - x, 2*pi)` on both boundaries.
+    """
+    hi = jnp.asarray(_TWO_PI_HI, dtype=x.dtype)
+    lo = jnp.asarray(_TWO_PI_LO, dtype=x.dtype)
+    n = jnp.ceil(x * (1.0 / TWO_PI) - 0.5)
+    return (x - n * hi) - n * lo
 
 
 def wrap_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -46,17 +67,37 @@ def wrap_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return princarg(a + b)
 
 
+def _het_split(ra: int, n_fft: int, n_bins: int):
+    """Heterodyne constants Ra*omega_k mod 2*pi as an (hi, lo) f32 pair.
+
+    The f32 rounding of 2*pi*((k*Ra) % N)/N is up to 2.4e-7 rad and is
+    subtracted from EVERY frame's increment with the same sign per bin — a
+    linear-in-length bias in the residual sum (the other half of the
+    drift documented at _TWO_PI_HI). hi is the f32 constant; lo is the f64
+    remainder, re-applied after the wrap.
+    """
+    import numpy as np
+
+    m = (np.arange(n_bins) * ra) % n_fft
+    het = (TWO_PI / n_fft) * m  # f64
+    hi = het.astype(np.float32)
+    lo = (het - hi.astype(np.float64)).astype(np.float32)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
 def heterodyne_increment(phi: jnp.ndarray, ra: int, n_fft: int) -> jnp.ndarray:
     """Wrapped heterodyned phase increment dphi (nf-1, n_bins).
 
     dphi[i,k] = princarg(phi[i+1,k] - phi[i,k] - Ra*omega_k). The expected
     advance Ra*omega_k is pre-reduced mod 2*pi via exact integer arithmetic
-    ((k*Ra) mod N) so no precision is lost for large Ra*k.
+    ((k*Ra) mod N), applied as a split (hi, lo) constant so the f32
+    rounding of the constant does not bias every frame (see _het_split).
+    The result may overshoot (-pi, pi] by ~2e-7 — harmless downstream
+    (it feeds a scaled re-wrap or e^{i psi}).
     """
     n_bins = phi.shape[-1]
-    k = jnp.arange(n_bins, dtype=jnp.int32)
-    het = (TWO_PI / n_fft) * ((k * ra) % n_fft).astype(phi.dtype)
-    return princarg(phi[1:] - phi[:-1] - het)
+    hi, lo = _het_split(ra, n_fft, n_bins)
+    return princarg(phi[1:] - phi[:-1] - hi.astype(phi.dtype)) - lo.astype(phi.dtype)
 
 
 def instantaneous_frequency(dphi: jnp.ndarray, ra: int, n_fft: int) -> jnp.ndarray:
@@ -94,7 +135,13 @@ def accumulate_phase(
         zero = jnp.zeros((1, n_bins), dtype=dtype)
         psi = phi[0] + jnp.concatenate([zero, jnp.cumsum(steps, axis=0)])
     elif method == "wrapped_scan":
-        residual = accumulate_phase_residual(dphi, ra, rs)
+        # Compensated pair arithmetic straight from phi (see the double-f32
+        # note above); dphi is ignored here — its f32 rounding is exactly
+        # the bias the pairs exist to avoid.
+        th, tl = residual_terms_c(phi, ra, rs, n_fft)
+        rh, rl = blocked_scan(wrap_add_c, (th, tl))
+        zero = jnp.zeros((1, n_bins), dtype=dtype)
+        residual = jnp.concatenate([zero, rh + rl])
         psi = finalize_phase(phi[0], residual, rs, n_fft, frame_offset)
     else:
         raise ValueError(f"unknown phase method {method!r}")
@@ -124,7 +171,103 @@ def pin_real_bins(
     return psi
 
 
-def blocked_scan(fn, terms: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
+# ---------------------------------------------------------------------------
+# Compensated (double-f32) residual accumulation.
+#
+# Angle-domain f32 cannot hold the 1e-4 waveform gate beyond a few minutes
+# of TONAL audio: a stationary pitch is exactly periodic in frames (440 Hz
+# at 16 kHz / hop 256 repeats every 25 frames), so the f32 rounding errors
+# of phi[i+1]-phi[i]-het REPEAT with the same sign pattern and integrate
+# LINEARLY into the residual sum — measured ~2e-7 rad/frame on the 440 Hz
+# bins (2e-3 rad at 10 min), identical mechanism to a biased random walk
+# with period-locked increments. The golden f64 model has the same bias at
+# 2^-29 scale. Fix: carry every term and partial sum as an UNEVALUATED
+# (hi, lo) f32 pair (TwoSum/Dekker arithmetic, ~2^-48 effective precision)
+# so the bias floor sits far below the gate at any audio length. All ops
+# stay f32 (TPU-native); cost is a few extra VPU ops per element on the
+# polar/streaming/chunked paths only (the fused phasor path telescopes and
+# does not need it).
+# ---------------------------------------------------------------------------
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly, s = fl(a+b)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+# f32(2*pi) split into two 11-bit-mantissa halves so n * _HI12A/_HI12B are
+# exact for |n| up to ~2^11 (wrap multiples here are tiny integers).
+import numpy as _np
+
+_HI12A = float(_np.float32(_np.trunc(_TWO_PI_HI * 2048.0) / 2048.0))
+_HI12B = float(_np.float32(_TWO_PI_HI - _HI12A))
+
+
+def _wrap_pair(h, l):
+    """Wrap an (h, l) pair to (-pi, pi] exactly: subtracts n*2pi with the
+    multiple applied in three exact pieces, then renormalizes."""
+    n = jnp.ceil(h * (1.0 / TWO_PI) - 0.5)
+    s, e1 = _two_sum(h, -n * jnp.asarray(_HI12A, h.dtype))
+    s, e2 = _two_sum(s, -n * jnp.asarray(_HI12B, h.dtype))
+    l = l + (e1 + e2) - n * jnp.asarray(_TWO_PI_LO, h.dtype)
+    return _two_sum(s, l)
+
+
+def wrap_add_c(a, b):
+    """Pair-compensated associative addition mod 2*pi: a, b = (hi, lo)."""
+    ah, al = a
+    bh, bl = b
+    s, e = _two_sum(ah, bh)
+    return _wrap_pair(s, al + bl + e)
+
+
+def _scale_pair(rs: int, ra: int, h, l):
+    """(rs/ra) * (h + l) as an exact pair. rs/ra has denominator 2^k
+    (ra is a power of two in every supported config), so the scale is
+    f32-exact; the product rs*h is split exactly via Dekker."""
+    k = jnp.asarray(rs / ra, h.dtype)
+    p = k * h
+    # Dekker split of h into 12+12 mantissa bits; k has <= 12 significant
+    # bits (numerator rs <= 4096), so k*h_hi and k*h_lo are exact.
+    c = jnp.asarray(4097.0, h.dtype) * h
+    h_hi = c - (c - h)
+    h_lo = h - h_hi
+    err = (k * h_hi - p) + k * h_lo
+    return p, k * l + err
+
+
+def residual_terms_c(phi_ext: jnp.ndarray, ra: int, rs: int, n_fft: int):
+    """Compensated scan terms ((F, nb) hi, lo) from phases (F+1, nb).
+
+    term[j] = wrap((rs/ra) * wrap(phi[j+1] - phi[j] - Ra*omega_k)) carried
+    as an exact pair: the only unrecoverable error left is the f32 atan2
+    rounding inside phi itself, which TELESCOPES across the residual sum
+    (each phi enters adjacent terms with opposite signs) and so stays
+    bounded at any length.
+    """
+    n_bins = phi_ext.shape[-1]
+    hi, lo = _het_split(ra, n_fft, n_bins)
+    d, e1 = _two_sum(phi_ext[1:], -phi_ext[:-1])
+    d, e2 = _two_sum(d, -hi.astype(phi_ext.dtype))
+    h, l = _wrap_pair(d, (e1 + e2) - lo.astype(phi_ext.dtype))
+    return _wrap_pair(*_scale_pair(rs, ra, h, l))
+
+
+def zero_pair(n_bins: int, dtype=jnp.float32):
+    """Identity element for wrap_add_c (the carry's initial value)."""
+    z = jnp.zeros((n_bins,), dtype)
+    return z, z
+
+
+def pair_value(pair):
+    """Collapse an (hi, lo) pair to plain f32 (for e^{i psi} consumption)."""
+    return pair[0] + pair[1]
+
+
+def blocked_scan(fn, terms, block: int = 1024):
     """Inclusive associative scan over axis 0 with bounded compile cost.
 
     jax.lax.associative_scan at non-power-of-two lengths makes XLA's TPU
@@ -133,26 +276,39 @@ def blocked_scan(fn, terms: jnp.ndarray, block: int = 1024) -> jnp.ndarray:
     within blocks, scans the B block totals, and broadcasts the exclusive
     block prefix back — same O(log) depth, compile cost independent of
     length. `fn` must be associative with 0 as identity under padding
-    (wrap_add and plain add both qualify: padded rows are zeros and their
-    results are sliced off).
+    (wrap_add, wrap_add_c, and plain add all qualify: padded rows are zeros
+    and their results are sliced off). `terms` may be a pytree (e.g. the
+    compensated (hi, lo) pair) whose leaves share the leading axis.
     """
-    nf = terms.shape[0]
+    tmap = jax.tree_util.tree_map
+    leaves = jax.tree_util.tree_leaves(terms)
+    nf = leaves[0].shape[0]
+
+    def pad_to(t, rows):
+        return tmap(
+            lambda a: jnp.pad(a, ((0, rows - nf),) + ((0, 0),) * (a.ndim - 1)),
+            t,
+        )
+
     if nf <= block:
         # Pad to the next power of two; tiny lengths stay single-level.
         p = 1
         while p < nf:
             p *= 2
-        tp = jnp.pad(terms, ((0, p - nf),) + ((0, 0),) * (terms.ndim - 1))
-        return jax.lax.associative_scan(fn, tp, axis=0)[:nf]
+        tp = pad_to(terms, p)
+        out = jax.lax.associative_scan(fn, tp, axis=0)
+        return tmap(lambda a: a[:nf], out)
     nb = -(-nf // block)
-    tp = jnp.pad(terms, ((0, nb * block - nf),) + ((0, 0),) * (terms.ndim - 1))
-    tp = tp.reshape((nb, block) + terms.shape[1:])
+    tp = pad_to(terms, nb * block)
+    tp = tmap(lambda a: a.reshape((nb, block) + a.shape[1:]), tp)
     incl = jax.lax.associative_scan(fn, tp, axis=1)
-    totals = incl[:, -1]
+    totals = tmap(lambda a: a[:, -1], incl)
     prefix = jax.lax.associative_scan(fn, totals, axis=0)
-    excl = jnp.concatenate([jnp.zeros_like(prefix[:1]), prefix[:-1]])
-    out = fn(jnp.expand_dims(excl, 1), incl)
-    return out.reshape((nb * block,) + terms.shape[1:])[:nf]
+    excl = tmap(
+        lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]]), prefix
+    )
+    out = fn(tmap(lambda a: jnp.expand_dims(a, 1), excl), incl)
+    return tmap(lambda a: a.reshape((nb * block,) + a.shape[2:])[:nf], out)
 
 
 def accumulate_phase_residual(dphi: jnp.ndarray, ra: int, rs: int) -> jnp.ndarray:
