@@ -171,7 +171,14 @@ def _run_chunked(args) -> int:
 def _run_bench(args) -> int:
     import bench as bench_mod  # repo-root bench harness
 
-    argv = ["--seconds", str(args.seconds), "--ratio", str(args.ratio)]
+    argv = ["--seconds", str(args.seconds), "--ratio", str(args.ratio),
+            "--iters", str(args.iters), "--backend", args.fft_backend]
+    if args.no_check:
+        argv += ["--no-check"]
+    if args.pitch:
+        argv += ["--pitch"]
+    if args.batch:
+        argv += ["--batch", "--batch-size", str(args.batch_size)]
     if args.scaling:
         argv += ["--scaling", "--seconds-per-device",
                  str(args.seconds_per_device)]
@@ -232,6 +239,16 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("bench", help="run the throughput benchmark")
     p.add_argument("--seconds", type=float, default=600.0)
     p.add_argument("--ratio", type=float, default=2.0)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--fft-backend", choices=["matmul", "xla", "pallas"],
+                   default="pallas", help="backend to bench (bench.py --backend)")
+    p.add_argument("--no-check", action="store_true",
+                   help="skip the golden-model correctness gate")
+    p.add_argument("--pitch", action="store_true",
+                   help="emit the pitch-shift bench (octave vs non-octave)")
+    p.add_argument("--batch", action="store_true",
+                   help="emit the DP batch bench (64-utterance fused kernel)")
+    p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--scaling", action="store_true",
                    help="emit the multi-device scaling-efficiency report")
     p.add_argument("--seconds-per-device", type=float, default=120.0)

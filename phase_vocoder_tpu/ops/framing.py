@@ -6,12 +6,14 @@ with atomicAdd overlap-add. TPU-native design:
   * framing: when hop | n_fft, overlapping frames are a pure reshape+roll
     composition ("fold trick") — zero gather, pure layout ops XLA fuses away;
     otherwise a vectorized gather.
-  * overlap-add: deterministic segmented reduction. When hop | n_fft each
-    frame splits into K = n_fft/hop segments and segment j of frame i lands
-    exactly in output block i+j, so OLA is K shifted pads summed — no
-    scatter, no atomics, bitwise reproducible run to run (unlike the
-    reference's atomicAdd whose summation order is nondeterministic).
-    The general-hop fallback is XLA scatter-add (still deterministic).
+  * overlap-add: deterministic segmented reduction for ANY hop. Frames are
+    zero-padded on the lane axis to K = ceil(n_fft/hop) segments of `hop`
+    samples; segment j of frame i lands exactly in output block i+j, so OLA
+    is K shifted pads summed — no scatter, no atomics, bitwise reproducible
+    run to run (unlike the reference's atomicAdd whose summation order is
+    nondeterministic). The zero lane-padding contributes nothing, so the
+    result is exact for hop ∤ n_fft too (e.g. the non-octave pitch hops
+    rs=342/305); "scatter" remains as the reference oracle for tests.
 
 All functions are shape-static and jit-friendly.
 """
@@ -64,18 +66,19 @@ def overlap_add(frames: jnp.ndarray, hop: int, method: str = "auto") -> jnp.ndar
     if nf == 0:
         return jnp.zeros((0,), dtype=frames.dtype)
     if method == "auto":
-        method = "fold" if n_fft % hop == 0 else "scatter"
+        method = "fold"
     if method == "fold":
-        if n_fft % hop != 0:
-            raise ValueError(f"fold OLA requires hop | n_fft, got {hop}, {n_fft}")
-        k = n_fft // hop
-        # Segment j of frame i occupies output block (i + j) of size hop.
+        k = -(-n_fft // hop)
+        # Lane-pad to k*hop (exact: padded lanes are zero) so segment j of
+        # frame i occupies output block (i + j) of size hop for ANY hop.
+        if k * hop != n_fft:
+            frames = jnp.pad(frames, ((0, 0), (0, k * hop - n_fft)))
         seg = frames.reshape(nf, k, hop)
         blocks = nf + k - 1
         out = jnp.zeros((blocks, hop), dtype=frames.dtype)
         for j in range(k):  # K is small & static (overlap factor, e.g. 2..8)
             out = out.at[j : j + nf].add(seg[:, j, :])
-        return out.reshape(blocks * hop)
+        return out.reshape(blocks * hop)[: output_length(nf, n_fft, hop)]
     if method == "scatter":
         length = output_length(nf, n_fft, hop)
         idx = jnp.arange(nf)[:, None] * hop + jnp.arange(n_fft)[None, :]

@@ -332,18 +332,26 @@ def _split32_3(x):
     )
 
 
-def _rev_lanes(x, rev_ref):
-    """x[:, (L-t) mod L] as an EXACT 3-pass bf16 permutation matmul.
+def _rev_lanes(x, rev_ref, passes: int = 3):
+    """x[:, (L-t) mod L] as a bf16 permutation matmul (3 passes = EXACT).
 
     The 3-way bitmask split (_split32_3) makes every pass a value*1.0
     product of a bf16-exact part, and the f32 accumulation of the three
     permuted parts reconstructs x exactly (parts are disjoint mantissa
     fields of one f32). A 2-pass hi/lo split is NOT exact — the lo residual
-    needs up to 16 mantissa bits but bf16 keeps 8, perturbing samples by
-    ~2^-17 before the forward DFT, which broke the 1e-4 golden gate
-    (ADVICE.md round 1). Mosaic has no native lane-reversal lowering; three
-    bf16 L x L passes cost ~1/8 of the folded DFT stack they enable.
+    needs up to 16 mantissa bits but bf16 keeps 8, perturbing values by
+    ~2^-17. On the FORWARD side (samples feeding the phasor u) that broke
+    the 1e-4 golden gate (ADVICE.md round 1), so the forward reversal is
+    always 3-pass. On the INVERSE side the operand is an amplitude-domain
+    output frame where 2^-17 is harmless (same argument as the 3-pass bf16
+    inverse DFT): passes=2 saves one L x L pass per tile — measured on chip
+    at no accuracy cost (PROFILE_r03.json). Mosaic has no native
+    lane-reversal lowering.
     """
+    if passes == 2:
+        xh, xl = _split32(x)
+        r = jnp.dot(xh, rev_ref[:], preferred_element_type=jnp.float32)
+        return r + jnp.dot(xl, rev_ref[:], preferred_element_type=jnp.float32)
     xh, xm, xl = _split32_3(x)
     r = jnp.dot(xh, rev_ref[:], preferred_element_type=jnp.float32)
     r = r + jnp.dot(xm, rev_ref[:], preferred_element_type=jnp.float32)
@@ -1001,6 +1009,7 @@ def _pvoc_tile(
     i, rows_a, rows_b, mats, consts, carry_ref, tail_ref, fmask,
     *, overlap: int, rs: int, ra: int, m: int, tile: int,
     fwd_passes: int, inv_passes: int, fold: bool, ablate: str = "",
+    inv_rev_passes: int = 3,
 ):
     """The whole phase vocoder in ONE kernel pass per frame tile.
 
@@ -1021,10 +1030,12 @@ def _pvoc_tile(
     fwd_passes / inv_passes: 0 = f32 matmuls at Precision.HIGHEST (6 MXU
     passes each on this Mosaic); 3/4 = hi/lo-bf16 split emulation via
     _dot_bf16. The forward DFT feeds the phasor u where weak-bin phase
-    noise matters, so it ALWAYS runs at HIGHEST (fwd_passes=0 — the hi/lo
-    bf16 split caps at ~2^-17 absolute operand error, measured 1.3e-4 rel
-    vs golden at k=2 and ~1e-2 at k=1/2: both over the gate). The inverse
-    is amplitude-only, where 2^-17 is harmless: 3-pass passes every gate.
+    noise matters, so it runs at HIGHEST: the 2-way operand split behind
+    the 3- and 4-pass variants carries a ~2^-17 representation error that
+    no extra cross term recovers (measured round 3: 3-pass 1.3e-4, 4-pass
+    7.9e-5 at k=2 and 1.29e-4 at k=4 — the gate leaves no room). The
+    inverse is amplitude-only, where 2^-17 is harmless: 3-pass passes
+    every gate.
 
     This is the SHARED tile body: the single-recording kernel (_pvoc_kernel,
     1-D grid) and the batched kernel (_pvoc_kernel_batched, 2-D
@@ -1044,7 +1055,11 @@ def _pvoc_tile(
     # single bf16 passes; "rev": skip the fold lane reversals; "scan":
     # skip the prefix scan; "terms": skip the phasor-term algebra.
     skip = set(ablate.split("+")) if ablate else set()
-    rev_fn = (lambda v, _r: v) if "rev" in skip else _rev_lanes
+    if "rev" in skip:
+        rev_fwd = rev_inv = lambda v, _r: v
+    else:
+        rev_fwd = _rev_lanes  # exact 3-pass: feeds the phasor-critical DFT
+        rev_inv = functools.partial(_rev_lanes, passes=inv_rev_passes)
 
     # --- framing + forward DFT
     block = jnp.concatenate([rows_a, rows_b], axis=0)
@@ -1055,22 +1070,30 @@ def _pvoc_tile(
     ]
     frames = jnp.concatenate(parts, axis=-1)
     if fold:
-        # Even/odd fold (see _fold_consts): half-length matmuls at the
-        # same HIGHEST precision, plus one exact permutation for the
-        # reversed view and a VPU lane reduction for the packed Nyquist.
+        # Even/odd fold (see _fold_consts): half-length matmuls at HIGHEST
+        # (default; fwd_passes>0 is a profiler A/B knob — the bf16 splits
+        # measured over the gate, see _FOLD_FWD_PASSES note), plus one
+        # exact permutation for the reversed view and a VPU lane reduction
+        # for the packed Nyquist.
         n_fft = overlap * ra
         L = n_fft // 2
         head = frames[:, :L]
-        r = rev_fn(frames[:, L:], rev)
+        r = rev_fwd(frames[:, L:], rev)
         wE = frows[0:1, :]
         wh = wE * head
         E = wh + frows[1:2, :] * r
         O = wh - frows[2:3, :] * r
-        fwd_prec = None if "fwd1" in skip else _PRECISION
-        re = jnp.dot(E, fch, preferred_element_type=jnp.float32,
-                     precision=fwd_prec)
-        im = jnp.dot(O, fsh, preferred_element_type=jnp.float32,
-                     precision=fwd_prec)
+        if "fwd1" in skip:
+            re = jnp.dot(E, fch, preferred_element_type=jnp.float32)
+            im = jnp.dot(O, fsh, preferred_element_type=jnp.float32)
+        elif fwd_passes:
+            re = _dot_bf16(E, fch, fcl, fwd_passes)
+            im = _dot_bf16(O, fsh, fsl, fwd_passes)
+        else:
+            re = jnp.dot(E, fch, preferred_element_type=jnp.float32,
+                         precision=_PRECISION)
+            im = jnp.dot(O, fsh, preferred_element_type=jnp.float32,
+                         precision=_PRECISION)
         lane0 = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1) == 0
         nyq = jnp.sum(E * frows[3:4, :], axis=1, keepdims=True)
         im = jnp.where(lane0, nyq, im)
@@ -1174,7 +1197,7 @@ def _pvoc_tile(
             nyqv * (1.0 / n_fft)
         )
         lo = (e2 + qp) * frows[6:7, :]
-        d = rev_fn(e2 - qp, rev)
+        d = rev_inv(e2 - qp, rev)
         d = jnp.where(lane0, y_mid, d)
         frames_o = jnp.concatenate([lo, d * frows[7:8, :]], axis=1)
     else:
@@ -1201,6 +1224,7 @@ def _pvoc_kernel(
     out_ref, carry_ref, tail_ref,
     *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int,
     fwd_passes: int, inv_passes: int, fold: bool, ablate: str = "",
+    inv_rev_passes: int = 3,
 ):
     """Single-recording wrapper: 1-D grid over frame tiles (see _pvoc_tile)."""
     i = pl.program_id(0)
@@ -1220,7 +1244,7 @@ def _pvoc_kernel(
         i, rows_a[:], rows_b[:], mats, consts, carry_ref, tail_ref, fmask,
         overlap=overlap, rs=rs, ra=ra, m=m, tile=tile,
         fwd_passes=fwd_passes, inv_passes=inv_passes, fold=fold,
-        ablate=ablate,
+        ablate=ablate, inv_rev_passes=inv_rev_passes,
     )
     out_ref[:] = buf[:tile] * norm[m - 1 : m, :]
 
@@ -1235,7 +1259,7 @@ def _pvoc_kernel_batched(
     hre, him, cre, cim, norm, fm,
     out_ref, carry_ref, tail_ref,
     *, overlap: int, rs: int, ra: int, m: int, tile: int,
-    fwd_passes: int, inv_passes: int, fold: bool,
+    fwd_passes: int, inv_passes: int, fold: bool, inv_rev_passes: int = 3,
 ):
     """Batched wrapper: 2-D (batch, frame-tile) grid, one kernel program.
 
@@ -1265,6 +1289,7 @@ def _pvoc_kernel_batched(
         i, rows_a[0], rows_b[0], mats, consts, carry_ref, tail_ref, fm[0],
         overlap=overlap, rs=rs, ra=ra, m=m, tile=tile,
         fwd_passes=fwd_passes, inv_passes=inv_passes, fold=fold,
+        inv_rev_passes=inv_rev_passes,
     )
     out_ref[0] = buf[:tile] * norm[m - 1 : m, :]
 
@@ -1276,22 +1301,31 @@ def _pvoc_kernel_batched(
 
 # bf16-split pass counts for fused_time_stretch(fast=True). The forward
 # DFT feeds the phasor u and must stay at HIGHEST (0): a 2-way bf16 split
-# caps at ~2^-17 absolute error, which shows up as weak-bin phase noise —
-# measured 1.34e-4 rel vs golden at k=2 (saturating, not growing, with
-# length) and ~1e-2 at k=1/2: both over the 1e-4 gate. The inverse is
-# amplitude-only, where the same 2^-17 is harmless: 3-pass passes every
-# gate with the error flat in recording length.
-_FWD_PASSES = 0
+# leaves a ~2^-17 OPERAND representation error (al is bf16-rounded), and
+# the 4th (al*bl) pass cannot recover it — measured round 3 (60 s golden,
+# interpret): 4-pass = 7.9e-5 at k=2 and 1.29e-4 at k=4 (over the gate;
+# phase noise scales with k), vs HIGHEST's ~2e-5. bf16-split DFT precision
+# is effectively quantized: 3-4 passes ~2^-16, 6 passes (HIGHEST) ~2^-24 —
+# nothing cheaper in between, so the forward keeps all 6. The inverse is
+# amplitude-only, where 2^-17 is harmless: 3-pass passes every gate with
+# the error flat in recording length, and its fold lane reversal runs at
+# 2 passes for the same reason (PROFILE_r03.json A/B).
+_FOLD_FWD_PASSES = 0
 _INV_PASSES = 3
+_INV_REV_PASSES = 2
 
 
-def _pvoc_mats(n_fft: int, fast: bool):
+def _pvoc_mats(n_fft: int, fast: bool, fwd_passes: int | None = None):
     """(mats 10-tuple, fwd_passes, inv_passes, fold) for the pvoc kernels.
 
     mats layout (shared by _pvoc_kernel and _pvoc_kernel_batched):
     (fch, fcl, fsh, fsl, ich, icl, ish, isl, rev, frows) — forward/inverse
     DFT hi/lo pairs (lo slots hold unread dummies when a stage runs at
     HIGHEST), the reversal permutation, and the fold row table.
+
+    fwd_passes: override for the forward-DFT bf16 pass count (None = the
+    path default: _FOLD_FWD_PASSES on the fold path, HIGHEST elsewhere;
+    0 = force HIGHEST — the accuracy escape hatch and A/B knob).
     """
     import ml_dtypes
 
@@ -1299,23 +1333,30 @@ def _pvoc_mats(n_fft: int, fast: bool):
     z = np.zeros((8, 128), np.float32)  # unread dummies for lo slots
     zb = np.zeros((8, 128), ml_dtypes.bfloat16)
     if fast:
-        fwd_passes, inv_passes = _FWD_PASSES, _INV_PASSES
+        inv_passes = _INV_PASSES
     else:
-        fwd_passes = inv_passes = 0
+        inv_passes = 0
     # Even/odd fold applies when the half-length is lane-aligned; it
-    # halves the MXU volume of both DFT stages (fwd stays HIGHEST). Gated
-    # on fast so fast=False remains the non-fold full-precision path.
+    # halves the MXU volume of both DFT stages. Gated on fast so
+    # fast=False remains the non-fold full-precision path.
     fold = fast and nbq == n_fft // 2
     if fold:
+        fwd_passes = _FOLD_FWD_PASSES if fwd_passes is None else fwd_passes
         mc, ms, ic2, is2, rows8, rmat = _fold_consts(n_fft)
         if inv_passes:
             ich, icl, ish, isl = _fold_inv_split(n_fft)
             inv_mats = (ich, icl, ish, isl)
         else:
             inv_mats = (ic2, z, is2, z)
-        mats = (mc, z, ms, z) + inv_mats + (rmat, rows8)
-        fwd_passes = 0  # fold always runs the forward at HIGHEST
+        if fwd_passes:
+            fch, fcl = _bitsplit_host(mc)
+            fsh, fsl = _bitsplit_host(ms)
+            fwd_mats = (fch, fcl, fsh, fsl)
+        else:
+            fwd_mats = (mc, z, ms, z)
+        mats = fwd_mats + inv_mats + (rmat, rows8)
     else:
+        fwd_passes = 0 if fwd_passes is None else fwd_passes
         fcq, fsq, icq, isq = _packed_mats(n_fft)
         fch, fcl, fsh, fsl, ich, icl, ish, isl = _packed_split(n_fft)
         mats = (
@@ -1334,11 +1375,13 @@ def fused_time_stretch(
     fast: bool = True,
     tile: int | None = None,
     ablate: str = "",
+    fwd_passes: int | None = None,
+    inv_rev_passes: int | None = None,
 ) -> jnp.ndarray:
     """Full fused TSM: ONE Pallas kernel, raw samples in, waveform out.
 
-    fast=True (default) runs the forward DFT at Precision.HIGHEST (the
-    phasor math has no bf16 headroom — see _pvoc_kernel) and the inverse
+    fast=True (default) runs the forward DFT at Precision.HIGHEST (bf16
+    splits measured over the gate — see _FOLD_FWD_PASSES), the inverse
     as a 3-pass hi/lo-bf16 split, and enables the even/odd fold
     (_fold_consts: half-length DFT matmuls) when the half-length is
     lane-aligned. fast=False runs BOTH DFT stages at HIGHEST through the
@@ -1348,6 +1391,8 @@ def fused_time_stretch(
     tile: frames per grid step (default _TILE_F; perf tuning knob).
     ablate: stage-skip spec for scripts/tpu_profile.py ONLY — output is
     wrong when set.
+    fwd_passes / inv_rev_passes: precision A/B knobs for the profiler
+    (None = path defaults; fwd_passes=0 forces the forward to HIGHEST).
     """
     if n_fft % hop != 0:
         raise ValueError("fused path requires hop | n_fft")
@@ -1376,7 +1421,8 @@ def fused_time_stretch(
         x_pad = jnp.pad(x, (0, span - x.shape[-1]))
     rows = x_pad.reshape(n_rows, hop)
 
-    mats, fwd_passes, inv_passes, fold = _pvoc_mats(n_fft, fast)
+    mats, fwd_passes, inv_passes, fold = _pvoc_mats(n_fft, fast, fwd_passes)
+    irp = _INV_REV_PASSES if inv_rev_passes is None else inv_rev_passes
     consts = tuple(
         jnp.asarray(c) for c in _phasor_consts_packed(n_fft, hop, rs)
     )
@@ -1389,7 +1435,7 @@ def fused_time_stretch(
         functools.partial(
             _pvoc_kernel, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf,
             tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
-            fold=fold, ablate=ablate,
+            fold=fold, ablate=ablate, inv_rev_passes=irp,
         ),
         grid=(grid,),
         in_specs=[
@@ -1486,7 +1532,7 @@ def fused_time_stretch_batch(
         functools.partial(
             _pvoc_kernel_batched, overlap=overlap, rs=rs, ra=hop, m=m,
             tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
-            fold=fold,
+            fold=fold, inv_rev_passes=_INV_REV_PASSES,
         ),
         grid=(B, grid),
         in_specs=[

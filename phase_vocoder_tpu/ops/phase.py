@@ -225,18 +225,29 @@ def wrap_add_c(a, b):
 
 
 def _scale_pair(rs: int, ra: int, h, l):
-    """(rs/ra) * (h + l) as an exact pair. rs/ra has denominator 2^k
-    (ra is a power of two in every supported config), so the scale is
-    f32-exact; the product rs*h is split exactly via Dekker."""
-    k = jnp.asarray(rs / ra, h.dtype)
+    """(rs/ra) * (h + l) as a compensated pair, exact for ANY rs, ra.
+
+    Full Dekker two-product: the f32 scale k32 = fl(rs/ra) is pre-split
+    into 12+12 mantissa-bit halves on the host and h is split in-kernel, so
+    every partial product is exact; the f64 representation residue
+    k_err = rs/ra - k32 (nonzero when ra is not a power of two) is folded
+    into the lo word. No precondition on hop or stretch remains (round-2
+    advisor finding: the old 12-bit shortcut silently biased non-pow2 hops).
+    """
+    k64 = rs / ra
+    k32 = _np.float32(k64)
+    kc = _np.float32(_np.float32(4097.0) * k32)
+    k_hi = _np.float32(kc - _np.float32(kc - k32))
+    k_lo = _np.float32(k32 - k_hi)
+    k = jnp.asarray(float(k32), h.dtype)
     p = k * h
-    # Dekker split of h into 12+12 mantissa bits; k has <= 12 significant
-    # bits (numerator rs <= 4096), so k*h_hi and k*h_lo are exact.
     c = jnp.asarray(4097.0, h.dtype) * h
     h_hi = c - (c - h)
     h_lo = h - h_hi
-    err = (k * h_hi - p) + k * h_lo
-    return p, k * l + err
+    kh, kl = jnp.asarray(float(k_hi), h.dtype), jnp.asarray(float(k_lo), h.dtype)
+    err = ((kh * h_hi - p) + kh * h_lo + kl * h_hi) + kl * h_lo
+    k_err = jnp.asarray(float(k64 - float(k32)), h.dtype)
+    return p, k * l + err + k_err * h
 
 
 def residual_terms_c(phi_ext: jnp.ndarray, ra: int, rs: int, n_fft: int):

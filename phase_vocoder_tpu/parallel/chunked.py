@@ -12,11 +12,13 @@ frames) and stitched exactly:
   * phase halo   — the first analysis-phase row ppermutes left so the
     heterodyned increment crossing the chunk boundary is exact.
   * phase carry  — the synthesis-phase prefix sum factorizes: each device
-    scans its own (Rs/Ra)*dphi terms (wrapped associative scan), the
-    per-chunk totals are all-gathered (D x n_bins floats — tiny) and a
-    wrapped exclusive prefix over the device axis yields each chunk's
-    carry. Addition mod 2*pi is associative, so chunked psi == monolithic
-    psi to f32 tolerance REGARDLESS of recording length (ops/phase.py).
+    scans its own (Rs/Ra)*dphi terms as a compensated (hi, lo)-pair
+    associative scan (ops/phase.py), the per-chunk pair totals are
+    all-gathered (D x 2 x n_bins floats — tiny) and a pair-wrapped
+    exclusive prefix over the device axis yields each chunk's carry.
+    Addition mod 2*pi is associative and the pairs hold ~2^-48 effective
+    precision, so chunked psi == monolithic psi REGARDLESS of recording
+    length.
   * OLA tails    — the last N-Rs output samples of each chunk ppermute to
     the right neighbor and add into its head BEFORE normalization, so the
     overlap-add seam is exact. Window-energy normalization is masked to
@@ -156,22 +158,37 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     # --- phase halo: neighbor's first phi row for the boundary increment.
     phi_next = jax.lax.ppermute(phi[0:1], "seq", left)  # zeros at d=D-1
     phi_ext = jnp.concatenate([phi, phi_next])  # (F+1, n_bins)
-    dphi = phase.heterodyne_increment(phi_ext, ra, n)  # (F, n_bins)
 
+    # --- phase carry: local compensated scan + cross-device exclusive
+    # prefix, all in (hi, lo)-pair arithmetic (ops/phase.py) — plain f32
+    # wrap_add drifts linearly with length (2.84e-4 vs golden at 60 s /
+    # 2.0x, over the 1e-4 gate) because period-locked rounding biases
+    # integrate; the pair scan holds ~2^-48 at any length. The per-device
+    # totals all_gather carries BOTH halves (D x 2 x n_bins — still tiny).
+    th, tl = phase.residual_terms_c(phi_ext, ra, rs, n)  # (F, nb) pairs
     # Zero increments that cross past the last valid frame (padding).
     g = d * F + jnp.arange(F)  # global frame indices owned here
-    dphi = dphi * (g < nf - 1)[:, None].astype(dphi.dtype)
-
-    # --- phase carry: local wrapped scan + cross-device exclusive prefix.
-    scale = jnp.asarray(rs / ra, dtype=dphi.dtype)
-    terms = phase.princarg(scale * dphi)
-    incl = phase.blocked_scan(phase.wrap_add, terms)  # (F, nb)
-    local_excl = jnp.concatenate([jnp.zeros_like(incl[:1]), incl[:-1]])
-    totals = jax.lax.all_gather(incl[-1], "seq")  # (D, n_bins)
-    prefix = phase.blocked_scan(phase.wrap_add, totals)
-    prefix_excl = jnp.concatenate([jnp.zeros_like(prefix[:1]), prefix[:-1]])
-    carry = jnp.take(prefix_excl, d, axis=0)  # (n_bins,)
-    residual = phase.wrap_add(carry[None, :], local_excl)  # (F, n_bins)
+    vm = (g < nf - 1)[:, None].astype(th.dtype)
+    th, tl = th * vm, tl * vm
+    incl_h, incl_l = phase.blocked_scan(phase.wrap_add_c, (th, tl))
+    local_excl = tuple(
+        jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]])
+        for a in (incl_h, incl_l)
+    )
+    totals = jax.lax.all_gather(
+        jnp.stack([incl_h[-1], incl_l[-1]]), "seq"
+    )  # (D, 2, n_bins)
+    pref_h, pref_l = phase.blocked_scan(
+        phase.wrap_add_c, (totals[:, 0], totals[:, 1])
+    )
+    carry = tuple(
+        jnp.take(jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]]), d, axis=0)[
+            None, :
+        ]
+        for a in (pref_h, pref_l)
+    )
+    res_h, res_l = phase.wrap_add_c(carry, local_excl)  # (F, n_bins) pair
+    residual = res_h + res_l
 
     # --- global phi[0] (device 0's first row) for the absolute phase.
     phi0 = jax.lax.all_gather(phi[0], "seq")[0]  # (n_bins,)

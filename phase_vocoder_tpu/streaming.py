@@ -11,8 +11,14 @@ of parallel/chunked.py, applied serially —
 
   * phi_prev   — previous segment's last analysis-phase row, so the
     boundary heterodyne increment is exact;
-  * psi_carry  — wrapped running sum of (Rs/Ra)*dphi terms (addition mod
-    2*pi is associative, so segment-wise accumulation == monolithic scan);
+  * psi_carry / psi_carry_lo — wrapped running sum of (Rs/Ra)*dphi terms,
+    carried as a compensated (hi, lo) f32 pair (ops/phase.py TwoSum/Dekker
+    arithmetic; addition mod 2*pi is associative, so segment-wise pair
+    accumulation == the monolithic compensated scan). Plain f32 here drifts
+    linearly with length on tonal audio — measured 2.84e-4 vs golden at
+    just 60 s / 2.0x, over the 1e-4 gate — because period-locked rounding
+    biases integrate; the pair carry holds ~2^-48 effective precision at
+    any length (see ops/phase.py:174-189);
   * phi0       — first frame's phase (absolute phase anchor);
   * ola_tail / norm_tail — the last N-Rs overlap-add samples and their
     window-energy, added into the next segment's head before normalization.
@@ -48,7 +54,8 @@ class StreamState:
     """Carried state between segments (see module docstring)."""
 
     phi_prev: jnp.ndarray  # (n_bins,)
-    psi_carry: jnp.ndarray  # (n_bins,)
+    psi_carry: jnp.ndarray  # (n_bins,) hi word of the compensated pair
+    psi_carry_lo: jnp.ndarray  # (n_bins,) lo word of the compensated pair
     phi0: jnp.ndarray  # (n_bins,)
     ola_tail: jnp.ndarray  # (n_fft - rs,)
     norm_tail: jnp.ndarray  # (n_fft - rs,)
@@ -65,6 +72,7 @@ def init_state(cfg: PvocConfig, rs: int, dtype=jnp.float32) -> StreamState:
     return StreamState(
         phi_prev=z((nb,)),
         psi_carry=z((nb,)),
+        psi_carry_lo=z((nb,)),
         phi0=z((nb,)),
         ola_tail=z((tail,)),
         norm_tail=z((tail,)),
@@ -95,21 +103,24 @@ def segment_step(
 
     # Terms T[j] = s_{offset+j-1}: the step INTO frame offset+j. T[0] crosses
     # the segment boundary (uses phi_prev); it is zero for the first segment.
+    # Terms, scan, and cross-segment carry all ride as compensated (hi, lo)
+    # pairs — plain f32 wrap_add drifts linearly with length (2.84e-4 vs
+    # golden at 60 s / 2.0x, over the gate; see ops/phase.py pair notes).
     phi_ext = jnp.concatenate([state.phi_prev[None, :], phi])  # (F+1, nb)
-    dphi = phase.heterodyne_increment(phi_ext, ra, n)  # (F, nb)
-    scale = jnp.asarray(rs / ra, dtype=dtype)
-    terms = phase.princarg(scale * dphi)
+    th, tl = phase.residual_terms_c(phi_ext, ra, rs, n)  # (F, nb) pairs
     j = jnp.arange(F)
     # Step s_{g+j-1} exists iff 0 <= g+j-1 <= nf-2, i.e. the target frame
     # g+j is real and has a predecessor. Padding frames and the very first
-    # frame contribute zero.
+    # frame contribute zero (the pair identity).
     g = state.frame_offset
-    valid_term = (j < n_valid) & ((g + j) > 0)
-    terms = terms * valid_term[:, None].astype(dtype)
+    valid_term = ((j < n_valid) & ((g + j) > 0))[:, None].astype(dtype)
+    th, tl = th * valid_term, tl * valid_term
 
-    incl = phase.blocked_scan(phase.wrap_add, terms)
-    residual = phase.wrap_add(state.psi_carry[None, :], incl)  # (F, nb)
-    new_carry = residual[-1]
+    incl = phase.blocked_scan(phase.wrap_add_c, (th, tl))
+    res_h, res_l = phase.wrap_add_c(
+        (state.psi_carry[None, :], state.psi_carry_lo[None, :]), incl
+    )  # (F, nb) pair
+    residual = res_h + res_l
 
     phi0 = jnp.where(state.started, state.phi0, phi[0])
     psi = phase.finalize_phase(phi0, residual, rs, n, frame_offset=g)
@@ -144,7 +155,8 @@ def segment_step(
 
     new_state = StreamState(
         phi_prev=phi[jnp.minimum(n_valid, F) - 1],
-        psi_carry=new_carry,
+        psi_carry=res_h[-1],
+        psi_carry_lo=res_l[-1],
         phi0=phi0,
         ola_tail=ola[F * rs :],
         norm_tail=norm[F * rs :],

@@ -101,6 +101,27 @@ def mxu_roofline_audio_s(
     return mxu_tflops_bf16 * 1e12 / flops_per_audio_s
 
 
+def fft_flop_roofline_audio_s(
+    sample_rate: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    mxu_tflops_bf16: float = 197.0,
+) -> float:
+    """Algorithmic-lower-bound roofline: an FFT-based kernel's FLOPs.
+
+    ~5*N*log2(N) real FLOPs per rfft/irfft (the textbook split-radix
+    count), two transforms per frame. Under this count the pipeline would
+    be HBM-bound again (~2.4M audio-s/s >> the 1.16M HBM bound), so the
+    true hardware speed-of-light for ANY DFT algorithm is min(FFT, HBM) =
+    HBM. Reported alongside the matmul-DFT MXU bound so vs_baseline is not
+    inflated by the choice of DFT algorithm (ADVICE.md round 2)."""
+    import math
+
+    flops_per_frame = 2 * 5.0 * n_fft * math.log2(n_fft)
+    frames_per_s = sample_rate / hop
+    return mxu_tflops_bf16 * 1e12 / (flops_per_frame * frames_per_s)
+
+
 def binding_roofline_audio_s(
     sample_rate: int = 16000,
     n_fft: int = 1024,
@@ -108,12 +129,27 @@ def binding_roofline_audio_s(
     stretch: float = 2.0,
     fold: bool = True,
 ) -> dict:
-    """Both rooflines plus the binding (min) one — the vs_baseline anchor."""
+    """Both rooflines plus the binding (min) one — the vs_baseline anchor.
+
+    NOTE (ADVICE.md round 2): the MXU bound is IMPLEMENTATION-SPECIFIC — it
+    normalizes by the FLOPs of this implementation's matmul-DFT (24 L^2
+    MACs/frame on the fold path), not an algorithmic lower bound. Under an
+    FFT-FLOP count (fft_audio_s_per_s) the binding hardware bound is HBM
+    (hw_audio_s_per_s = min(FFT, HBM)); both are emitted so a reader can
+    normalize either way. vs_baseline == 1.0 therefore means "the chosen
+    matmul-DFT runs at MXU peak", not "no faster algorithm exists" —
+    docs/fft_note.md records why matmul-DFT is the right algorithm for
+    Mosaic at N=1024 anyway.
+    """
     hbm = hbm_roofline_audio_s(sample_rate, n_fft, hop, stretch)
     mxu = mxu_roofline_audio_s(sample_rate, n_fft, hop, fold)
+    fft = fft_flop_roofline_audio_s(sample_rate, n_fft, hop)
     return {
         "hbm_audio_s_per_s": hbm,
         "mxu_audio_s_per_s": mxu,
+        "mxu_note": "implementation-specific (matmul-DFT FLOPs, fold path)",
+        "fft_audio_s_per_s": fft,
+        "hw_audio_s_per_s": min(fft, hbm),
         "binding": "mxu" if mxu < hbm else "hbm",
         "audio_s_per_s": min(hbm, mxu),
     }

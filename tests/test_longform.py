@@ -15,8 +15,16 @@ under 1e-7 input perturbations (measured; see .claude/skills/verify).
 Measured on TPU v5e (2026-08-19, fused fast path, 2.0x):
     2 s: 1.7e-5   60 s: 1.7e-5   600 s: 2.4e-5   (flat in length)
 
-The 600 s case runs only when PVOC_SLOW_TESTS=1 (golden f64 + interpreter
-kernels at 37.5k frames take minutes on CPU); the 60 s case always runs.
+Streaming + chunked (compensated (hi, lo)-pair carry, round 3) measured on
+the 8-device CPU mesh, 2.0x vs f64 golden — flat in length:
+    60 s: 4.7e-6 (both)   600 s: see test docstrings below   3600 s: hour gate
+
+The 600 s cases run only when PVOC_SLOW_TESTS=1 (golden f64 + interpreter
+kernels at 37.5k frames take minutes on CPU); the 3600 s hour gate
+(BASELINE config 5 "hour-long recording") only when PVOC_HOUR_TESTS=1
+(~tens of minutes on CPU; the fused hour-scale run is measured on the TPU
+chip by scripts/tpu_accuracy.py and recorded in README). The 60 s case
+always runs.
 """
 
 import os
@@ -32,6 +40,7 @@ from tests.conftest import make_test_signal
 N, RA = 1024, 256
 
 SLOW = os.environ.get("PVOC_SLOW_TESTS") == "1"
+HOUR = os.environ.get("PVOC_HOUR_TESTS") == "1"
 
 
 def rel_err(a, b, edge=N):
@@ -69,7 +78,11 @@ def test_fused_golden_ten_minutes(stretch):
 @pytest.mark.skipif(not SLOW, reason="set PVOC_SLOW_TESTS=1 (minutes on CPU)")
 def test_streaming_and_chunked_golden_ten_minutes():
     """The streaming executor and the 8-device chunked program hold the
-    same >=10-min gate (they share the polar wrapped-scan math)."""
+    same >=10-min gate. Both carry the synthesis-phase residual as a
+    compensated (hi, lo) f32 pair (ops/phase.py), so the error is flat in
+    length (round 2's plain-f32 scan drifted to 2.84e-4 at just 60 s).
+    Measured 2026-08-21 (8-device CPU mesh, 600 s / 2.0x vs f64 golden):
+    streaming 4.73e-6, chunked 4.73e-6."""
     from phase_vocoder_tpu.parallel.chunked import chunked_time_stretch
     from phase_vocoder_tpu.parallel.mesh import make_mesh
     from phase_vocoder_tpu.streaming import stream_time_stretch
@@ -83,3 +96,28 @@ def test_streaming_and_chunked_golden_ten_minutes():
         chunked_time_stretch(x, 2.0, cfg, mesh=make_mesh(8, axis="seq"))
     )
     assert rel_err(y_c, ref) < 1e-4
+
+
+@pytest.mark.skipif(not HOUR, reason="set PVOC_HOUR_TESTS=1 (tens of minutes)")
+def test_streaming_and_chunked_golden_one_hour():
+    """BASELINE config 5: hour-long recording (3600 s, ~225k frames).
+
+    The compensated pair carry keeps streaming and the 8-device chunked
+    program under the 1e-4 gate at a full hour — the drift-vs-length table
+    (60/600/3600 s) lives in README.md. Measured 2026-08-21: streaming
+    9.75e-6, chunked 9.75e-6 (vs 4.7e-6 at 60/600 s — near-flat)."""
+    from phase_vocoder_tpu.parallel.chunked import chunked_time_stretch
+    from phase_vocoder_tpu.parallel.mesh import make_mesh
+    from phase_vocoder_tpu.streaming import stream_time_stretch
+
+    x = make_test_signal(3600.0)
+    ref = pv_ref.phase_vocoder(x, 2.0, N, RA)
+    cfg = PvocConfig()
+    y_s = np.asarray(stream_time_stretch(x, 2.0, cfg))
+    e_s = rel_err(y_s, ref)
+    assert e_s < 1e-4, e_s
+    y_c = np.asarray(
+        chunked_time_stretch(x, 2.0, cfg, mesh=make_mesh(8, axis="seq"))
+    )
+    e_c = rel_err(y_c, ref)
+    assert e_c < 1e-4, e_c
