@@ -252,7 +252,7 @@ def run_pitch_bench(
         best = min(times)
         per[f"{s:+g}st"] = {
             "audio_s_per_s": round(seconds / best, 1),
-            "path": "fused" if fused else "polar-scatter-ola",
+            "path": "fused" if fused else "polar-fold-ola",
             "rs": rs,
             "rel_err_vs_golden": round(err, 8),
             "allclose_pass": bool(err < 1e-4),
@@ -270,7 +270,7 @@ def run_pitch_bench(
 
 def run_batch_bench(
     batch: int = 64,
-    seconds_each: float = 10.0,
+    seconds_each: float = 120.0,
     ratio: float = 2.0,
     sr: int = 16000,
     n_fft: int = 1024,

@@ -42,6 +42,15 @@ def _add_dsp_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n-fft", type=int, default=1024, help="FFT size N")
     p.add_argument("--hop", type=int, default=256, help="analysis hop Ra")
     p.add_argument(
+        "--float32", action="store_true",
+        help="write float32 WAV instead of PCM16. PCM16 (the reference's "
+        "convention) CLIPS stretched samples that overshoot +-1.0 — a "
+        "time-stretched waveform can exceed the input peak by a few "
+        "percent, and the clip then dominates any waveform-level "
+        "comparison (measured: 1.077 golden peak -> 7.2e-2 apparent "
+        "error from the clip alone vs 2.4e-5 true pipeline error)",
+    )
+    p.add_argument(
         "--fft-backend", choices=["matmul", "xla", "pallas"], default="pallas",
         help="'pallas' (default): fully fused phasor kernel where the "
         "geometry allows, falling back to DFT-as-matmul on the MXU; "
@@ -88,7 +97,7 @@ def _run_stretch(args) -> int:
         else:
             y = np.asarray(time_stretch(x, args.ratio, _cfg(args)))
     dt = time.perf_counter() - t0
-    write_wav(args.output, y, sr)
+    write_wav(args.output, y, sr, pcm16=not args.float32)
     emit_metric("audio_seconds_per_second", audio_seconds_per_second(len(x), sr, dt),
                 "audio-s/s", stretch=args.ratio, samples=len(x))
     return 0
@@ -99,7 +108,7 @@ def _run_pitch(args) -> int:
 
     x, sr = read_wav(args.input)
     y = np.asarray(pitch_shift(x, args.semitones, _cfg(args)))
-    write_wav(args.output, y, sr)
+    write_wav(args.output, y, sr, pcm16=not args.float32)
     return 0
 
 
@@ -119,7 +128,7 @@ def _run_batch(args) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     for path, y in zip(args.inputs, ys):
         out = os.path.join(args.out_dir, os.path.basename(path))
-        write_wav(out, np.asarray(y), sr)
+        write_wav(out, np.asarray(y), sr, pcm16=not args.float32)
     total = sum(len(x) for x in xs)
     emit_metric("batch_audio_seconds_per_second",
                 audio_seconds_per_second(total, sr, dt), "audio-s/s",
@@ -160,7 +169,7 @@ def _run_chunked(args) -> int:
     y = np.asarray(y)
     dt = time.perf_counter() - t0
     if not multihost or jax.process_index() == 0:
-        write_wav(args.output, y, sr)
+        write_wav(args.output, y, sr, pcm16=not args.float32)
         emit_metric("chunked_audio_seconds_per_second",
                     audio_seconds_per_second(len(x), sr, dt), "audio-s/s",
                     devices=mesh.devices.size,

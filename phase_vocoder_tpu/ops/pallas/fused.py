@@ -104,6 +104,12 @@ __all__ = [
 
 _TINY = 1e-30
 
+# Frames per grid step for the single-kernel path. 256 measured fastest on
+# chip (PROFILE_r03.json tile sweep: 148.0k audio-s/s vs 144.6k at 128 and
+# 143.4k at 64, 14400 s / 2.0x); the split kernels keep stft._TILE_F=128
+# (their layouts are shared with the sequence-parallel chunk programs).
+_TILE_PVOC = 256
+
 
 def phasor_supported(n_fft: int, ra: int, rs: int, max_int_k: int = 8) -> bool:
     """True when the fused phasor path covers this geometry.
@@ -1409,7 +1415,7 @@ def fused_time_stretch(
     overlap = n_fft // hop
     m = n_fft // rs
     nbq = _pad_bins(n_fft // 2)
-    tile = _TILE_F if tile is None else tile
+    tile = _TILE_PVOC if tile is None else tile
     nf_pad = -(-(nf + m - 1) // tile) * tile
     grid = nf_pad // tile
 
@@ -1499,7 +1505,7 @@ def fused_time_stretch_batch(
     overlap = n_fft // hop
     m = n_fft // rs
     nbq = _pad_bins(n_fft // 2)
-    tile = _TILE_F
+    tile = _TILE_PVOC  # same kernel body as fused_time_stretch
     nf_pad = -(-(nf + m - 1) // tile) * tile
     grid = nf_pad // tile
 

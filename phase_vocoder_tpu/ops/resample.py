@@ -1,22 +1,58 @@
 """Linear-interpolation resampler (reference component C12 — pitch shift).
 
-The reference resamples with a CUDA kernel (or host loop). TPU-native: one
-vectorized gather of the two neighbor samples + lerp; XLA fuses the whole
-thing. Output length is static (required for jit), computed by the caller
-from the stretch factor.
+The reference resamples with a CUDA kernel (or host loop). TPU gathers are
+the wrong primitive for this (measured on v5e: 22-48M gathered elements/s —
+the per-element gather made resampling ~20x the cost of the entire fused
+TSM kernel, PROFILE_r03.json), so this module is gather-free on every hot
+path:
 
-Precision: sample positions j/factor are split per 1024-sample block into an
-exact host-computed float64 integer part and a small float32 fractional
-part, so position error stays ~1e-4 samples for arbitrarily long outputs
-(naive float32 j/factor drifts past 2^23 samples).
+  * rational steps p/q (q small): out[m*q + r] = lerp(x[m*p + a_r], w_r)
+    with per-residue constant offsets/weights — q strided slices, pure
+    layout ops. Covers every octave pitch shift EXACTLY (+-12 st resample
+    by 2 or 1/2 is p/q in {2/1, 1/2}; identity is 1/1).
+  * irrational steps: blocked strided-select. Output blocks of B samples
+    read an S-sample input span; the span matrix is built by a ROW gather
+    (nb rows, not out_len elements), and the in-block selection
+    out[r] = span[c*r + k_r] is a sum over the K possible carry values k
+    of statically-strided slices under a mask — elementwise VPU work that
+    XLA fuses, no element gather anywhere.
+
+Precision: sample positions j/factor are split per block into an exact
+host-computed float64 integer part and a small float32 fractional part, so
+position error stays ~1e-4 samples for arbitrarily long outputs (naive
+float32 j/factor drifts past 2^23 samples). Linear interpolation is
+continuous in position, so the <=1-ulp position differences between
+formulations are ~slope*2^-24 in the waveform — far below the 1e-4 gate.
 """
 
 from __future__ import annotations
 
+from fractions import Fraction
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BLOCK = 1024
+_BLOCK = 1024  # positions-precision block (f64 host starts)
+# Output block for the strided-select path. Chip sweep (PROFILE_r03.json):
+# 512 maximizes the row-gather/select-loop tradeoff — 162.6 M out-samples/s
+# at step 1.335 (vs 73.7 at B=128, 118.3 at B=1024); 127 M/s at step 0.749.
+_SEL_BLOCK = 512
+
+
+def _as_rational_step(factor: float, max_q: int = 4, max_p: int = 8):
+    """1/factor as an EXACT small fraction p/q, or None.
+
+    Exactness in float64 is required (the golden model computes j/factor in
+    f64); octave factors (powers of two) always qualify.
+    """
+    if factor <= 0:
+        return None
+    step = 1.0 / factor
+    fr = Fraction(step).limit_denominator(max_q)
+    if 0 < fr.numerator <= max_p and float(fr) == step:
+        return fr
+    return None
 
 
 def resample_linear(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
@@ -27,19 +63,129 @@ def resample_linear(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
     """
     if out_len <= 0:
         return jnp.zeros((0,), dtype=x.dtype)
-    n = x.shape[-1]
+    if x.shape[-1] == 0:
+        return jnp.zeros((out_len,), dtype=x.dtype)
+    fr = _as_rational_step(factor)
+    if fr is not None:
+        return _resample_rational(x, fr.numerator, fr.denominator, out_len)
+    return _resample_strided_select(x, factor, out_len)
+
+
+def _positions(factor: float, out_len: int, n: int):
+    """(lo int32, frac f32) exact blocked positions, edge-clamped (both
+    the gather reference and the strided-select path use these)."""
     nblocks = -(-out_len // _BLOCK)
-    # Host-side float64 block starts (compile-time constants — exact).
     starts = np.arange(nblocks, dtype=np.float64) * (_BLOCK / factor)
-    start_int = jnp.asarray(np.floor(starts), dtype=jnp.int32)  # (nblocks,)
+    start_int = jnp.asarray(np.floor(starts), dtype=jnp.int32)
     start_frac = jnp.asarray(starts - np.floor(starts), dtype=jnp.float32)
     jo = jnp.asarray(
         np.arange(_BLOCK, dtype=np.float64) / factor, dtype=jnp.float32
-    )  # (B,) values < B/factor: small, so f32 is plenty
-    local = start_frac[:, None] + jo[None, :]  # (nblocks, B)
+    )
+    local = start_frac[:, None] + jo[None, :]
     local_int = jnp.floor(local)
     lo = (start_int[:, None] + local_int.astype(jnp.int32)).reshape(-1)[:out_len]
-    frac = (local - local_int).reshape(-1)[:out_len].astype(x.dtype)
-    lo = jnp.clip(lo, 0, n - 1)
+    frac = (local - local_int).reshape(-1)[:out_len]
+    return jnp.clip(lo, 0, n - 1), frac
+
+
+def _resample_gather(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
+    """Reference implementation: per-element gather (kept as the parity
+    oracle for the layout-based paths; slow on TPU)."""
+    n = x.shape[-1]
+    lo, frac = _positions(factor, out_len, n)
+    frac = frac.astype(x.dtype)
     hi = jnp.minimum(lo + 1, n - 1)
     return x[lo] * (1.0 - frac) + x[hi] * frac
+
+
+def _resample_rational(x: jnp.ndarray, p: int, q: int, out_len: int) -> jnp.ndarray:
+    """step = p/q exactly: q interleaved strided slices, zero gathers.
+
+    out[m*q + r] = x[m*p + (r*p)//q] * (1-w_r) + x[m*p + (r*p)//q + 1] * w_r
+    with w_r = (r*p mod q)/q — offsets and weights constant per residue r.
+    """
+    n = x.shape[-1]
+    m_out = -(-out_len // q)
+    # Edge-pad so m*p + a_r + 1 stays in range, with clamp semantics.
+    max_idx = (m_out - 1) * p + ((q - 1) * p) // q + 1
+    pad = max(0, max_idx + 1 - n)
+    xp = jnp.pad(x, (0, pad), mode="edge") if pad else x
+    cols = []
+    for r in range(q):
+        a = (r * p) // q
+        w = ((r * p) % q) / q
+        base = jax.lax.slice(xp, (a,), (a + (m_out - 1) * p + 1,), (p,))
+        if w == 0.0:
+            cols.append(base)
+        else:
+            nxt = jax.lax.slice(xp, (a + 1,), (a + 1 + (m_out - 1) * p + 1,), (p,))
+            cols.append(base * (1.0 - w) + nxt * w)
+    out = jnp.stack(cols, axis=1).reshape(m_out * q)
+    return out[:out_len]
+
+
+def _resample_strided_select(
+    x: jnp.ndarray, factor: float, out_len: int
+) -> jnp.ndarray:
+    """Irrational steps: blocked strided-select (see module docstring).
+
+    Per output block of B samples: a row gather fetches the (nb, S) span
+    matrix (nb dynamic slices — NOT an element gather), then the in-block
+    offsets o_r = lo_r - block_start decompose as o_r = c*r + k_r with
+    c = floor(step) and k_r in [0, K); summing the K statically-strided
+    span slices under (k_r == k) masks reconstructs the exact lerp inputs
+    with pure elementwise ops that XLA fuses into one pass.
+    """
+    n = x.shape[-1]
+    step = 1.0 / factor
+    B = _SEL_BLOCK
+    lo, frac = _positions(factor, out_len, n)
+    frac = frac.astype(x.dtype)
+
+    nb = -(-out_len // B)
+    pad_out = nb * B - out_len
+    lo_b = jnp.pad(lo, (0, pad_out), mode="edge").reshape(nb, B)
+    starts = lo_b[:, 0]  # (nb,) block input starts (monotone)
+    o = lo_b - starts[:, None]  # (nb, B) in-block offsets, >= 0
+
+    c = int(np.floor(step)) if step >= 1.0 else 0
+    # k_r = o_r - c*r: bounded by the fractional accumulation across one
+    # block (+ rounding slack); K is static.
+    K = int(np.ceil(B * (step - c))) + 3
+    S = c * (B - 1) + K + 1  # widest span incl. the +1 lerp neighbor
+
+    # Span matrix via row gather: nb slices of S contiguous samples.
+    xp = jnp.pad(x, (0, S + 1), mode="edge")
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    spans = jax.lax.gather(
+        xp,
+        starts[:, None],
+        dnums,
+        slice_sizes=(S,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (nb, S)
+
+    k = o - c * jnp.arange(B, dtype=jnp.int32)[None, :]  # (nb, B) in [0, K)
+    # Right-edge clamp: where lo was clipped to n-1 (positions past the
+    # end), k can fall below 0; clamping re-points the select at an index
+    # >= the clipped one, which the edge padding maps to x[n-1] — exactly
+    # the reference clamp semantics.
+    k = jnp.clip(k, 0, K - 1)
+    acc_lo = jnp.zeros((nb, B), x.dtype)
+    acc_hi = jnp.zeros((nb, B), x.dtype)
+    width = c * (B - 1) + 1
+    for kk in range(K):
+        m = k == kk
+        if c == 0:
+            sl = spans[:, kk : kk + 1]
+            sl1 = spans[:, kk + 1 : kk + 2]
+        else:
+            sl = jax.lax.slice(spans, (0, kk), (nb, kk + width), (1, c))
+            sl1 = jax.lax.slice(spans, (0, kk + 1), (nb, kk + 1 + width), (1, c))
+        acc_lo = acc_lo + jnp.where(m, sl, 0)
+        acc_hi = acc_hi + jnp.where(m, sl1, 0)
+    fr2 = jnp.pad(frac, (0, pad_out)).reshape(nb, B)
+    out = acc_lo * (1.0 - fr2) + acc_hi * fr2
+    return out.reshape(-1)[:out_len]

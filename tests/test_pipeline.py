@@ -162,6 +162,32 @@ def test_resample_matches_golden(signal_1s):
         assert np.max(np.abs(np.asarray(ours) - ref)) < 1e-4
 
 
+def test_resample_paths_match_gather_reference(rng):
+    """The gather-free paths (rational strided slices, blocked
+    strided-select) are sample-exact vs the per-element-gather reference
+    across up/down/rational/irrational factors and edge cases."""
+    from phase_vocoder_tpu.ops import resample as rs
+
+    x = rng.standard_normal(100_000).astype(np.float32)
+    xj = jnp.asarray(x)
+    for s in (-12, -7, -5, -1, 0, 1, 5, 7, 12, 3.5):
+        fac = 1.0 / (2.0 ** (s / 12.0))  # what pitch_shift passes
+        out_len = int(round(len(x) / fac))
+        a = np.asarray(rs.resample_linear(xj, fac, out_len))
+        b = np.asarray(rs._resample_gather(xj, fac, out_len))
+        assert np.max(np.abs(a - b)) < 1e-6, s
+    # Rational detection: octave factors exact, irrational rejected.
+    assert rs._as_rational_step(0.5).numerator == 2
+    assert rs._as_rational_step(2.0) == __import__("fractions").Fraction(1, 2)
+    assert rs._as_rational_step(2 ** (5 / 12)) is None
+    # Tiny/edge shapes incl. right-edge clamping past the end.
+    for n, fac, out_len in ((10, 0.37, 31), (5, 3.0, 2), (1, 0.5, 3), (128, 1.0, 128)):
+        xj2 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+        a = np.asarray(rs.resample_linear(xj2, fac, out_len))
+        b = np.asarray(rs._resample_gather(xj2, fac, out_len))
+        assert np.max(np.abs(a - b)) < 1e-6, (n, fac, out_len)
+
+
 # ------------------------------------------------------------------ e2e gate
 
 
