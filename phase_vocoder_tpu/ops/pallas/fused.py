@@ -19,9 +19,16 @@ phase propagation is phasor algebra, with NO transcendentals anywhere:
   P_i        = prod_{j<=i} term_j = e^{i psi_i}  (renormalized prefix prod)
   Y_i        = |X_i| * P_i
 
-The prefix product is a log-depth associative scan (the same factorization
-as ops/phase.py, in the group U(1) instead of (R mod 2pi, +)); combine
-renormalizes so magnitude drift never accumulates. DC/Nyquist bins use the
+For INTEGER k the prefix product TELESCOPES to a closed form (round 3):
+e^{ik princarg(d)} = (e^{id})^k for integer k, and the u_j conj(u_{j-1})
+chain collapses, so P_i = u_0 (u_i conj(u_0))^k with NO recurrence at all —
+no scan, no cross-tile carry, no cross-device carry collectives (validated
+vs the f64 golden at 1e-10 for k=1..4; see _pvoc_tile). k = 1/2 does not
+telescope (principal square roots do not commute with the product across
+branch cuts) and keeps the log-depth associative scan (the same
+factorization as ops/phase.py, in the group U(1) instead of (R mod 2pi,
++)); its combine renormalizes so magnitude drift never accumulates.
+DC/Nyquist bins use the
 pinned convention of phase.pin_real_bins, expressed in phasor form via a
 lane mask (term = u_i conj(u_{i-1}) * (-1)^{Rs [k=N/2]}, which telescopes
 to per-frame phase pass-through plus the exact linear rotation).
@@ -104,11 +111,20 @@ __all__ = [
 
 _TINY = 1e-30
 
-# Frames per grid step for the single-kernel path. 256 measured fastest on
-# chip (PROFILE_r03.json tile sweep: 148.0k audio-s/s vs 144.6k at 128 and
-# 143.4k at 64, 14400 s / 2.0x); the split kernels keep stft._TILE_F=128
-# (their layouts are shared with the sequence-parallel chunk programs).
-_TILE_PVOC = 256
+def _pick_tile(n_fft: int, rs: int, nf: int) -> int:
+    """Frames per grid step for the single-kernel path: 256.
+
+    256 measured 155.7k audio-s/s at the canonical 2.0x point with the
+    closed-form phase path (PROFILE_r03.json tile sweeps; 2.4% over 128).
+    384 clocked 158.6k at 14400 s but trips Mosaic's scoped-VMEM stack
+    allocator at OTHER lengths with the same kernel (measured: over by
+    784K at 60 s / m=4 tile 384, by ~1.5M at 3600 s / m=2, yet fine at
+    14400 s / m=2 — the headroom depends on grid count through the
+    compiler's buffering choices, so 384 is not robust as a default;
+    callers chasing the last 1.9% on long recordings can pass tile=384
+    explicitly). The split kernels keep stft._TILE_F=128 (layouts shared
+    with the chunk programs)."""
+    return 256
 
 
 def phasor_supported(n_fft: int, ra: int, rs: int, max_int_k: int = 8) -> bool:
@@ -1121,7 +1137,31 @@ def _pvoc_tile(
     uim = jnp.where(safe, im * inv, 0.0)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, ure.shape, 0)
     row0 = row_idx == 0
-    if "terms" in skip:
+    closed = rs % ra == 0 and not skip & {"terms", "scan", "noclosed"}
+    if closed:
+        # CLOSED FORM (integer k, round 3): the prefix product TELESCOPES.
+        # e^{i k princarg(d)} == (e^{id})^k for integer k, and
+        # prod_j u_j conj(u_{j-1}) == u_i conj(u_0) exactly, so
+        #   P_i = u_0 * (u_i conj(u_0))^k  = e^{i psi_i}
+        # with the heterodyne/synthesis rotations cancelling (Rs w = k Ra w).
+        # Validated vs the f64 golden at 1e-10 for k=1..4. No per-frame
+        # recurrence, no in-VMEM Hillis-Steele scan, no cross-tile product
+        # carry — just the anchor phasor u_0 persisted in scratch. (k = 1/2
+        # does NOT telescope — principal square roots don't commute with
+        # the product across branch cuts — and keeps the scan below.)
+        @pl.when(i == 0)
+        def _():
+            carry_ref[0, :] = ure[0, :]
+            carry_ref[1, :] = uim[0, :]
+
+        u0re = carry_ref[0:1, :]
+        u0im = carry_ref[1:2, :]
+        zre = ure * u0re + uim * u0im  # u * conj(u0)
+        zim = uim * u0re - ure * u0im
+        wre, wim = _pow_k(zre, zim, rs, ra)
+        tre = wre * u0re - wim * u0im  # * u0
+        tim = wre * u0im + wim * u0re
+    elif "terms" in skip:
         tre, tim = ure, uim
     else:
         pre_ = pltpu.roll(ure, 1, 0)
@@ -1144,8 +1184,8 @@ def _pvoc_tile(
         tre = jnp.where(first, ure, tre)
         tim = jnp.where(first, uim, tim)
 
-    # --- in-VMEM prefix scan + cross-tile carry
-    if "scan" not in skip:
+    # --- in-VMEM prefix scan + cross-tile carry (scan path only)
+    if not closed and "scan" not in skip:
         d = 1
         while d < tile:
             sre = pltpu.roll(tre, d, 0)
@@ -1161,10 +1201,11 @@ def _pvoc_tile(
         inv_p = jax.lax.rsqrt(jnp.maximum(tre * tre + tim * tim, _TINY))
         tre = tre * inv_p
         tim = tim * inv_p
-    carry_ref[2, :] = tre[tile - 1, :]
-    carry_ref[3, :] = tim[tile - 1, :]
-    carry_ref[0, :] = ure[tile - 1, :]
-    carry_ref[1, :] = uim[tile - 1, :]
+    if not closed:
+        carry_ref[2, :] = tre[tile - 1, :]
+        carry_ref[3, :] = tim[tile - 1, :]
+        carry_ref[0, :] = ure[tile - 1, :]
+        carry_ref[1, :] = uim[tile - 1, :]
 
     # --- synthesis: Y = mag * P (masked past the last real frame)
     gidx = i * tile + row_idx
@@ -1415,7 +1456,7 @@ def fused_time_stretch(
     overlap = n_fft // hop
     m = n_fft // rs
     nbq = _pad_bins(n_fft // 2)
-    tile = _TILE_PVOC if tile is None else tile
+    tile = _pick_tile(n_fft, rs, nf) if tile is None else tile
     nf_pad = -(-(nf + m - 1) // tile) * tile
     grid = nf_pad // tile
 
@@ -1505,7 +1546,7 @@ def fused_time_stretch_batch(
     overlap = n_fft // hop
     m = n_fft // rs
     nbq = _pad_bins(n_fft // 2)
-    tile = _TILE_PVOC  # same kernel body as fused_time_stretch
+    tile = _pick_tile(n_fft, rs, nf)  # same kernel body as fused_time_stretch
     nf_pad = -(-(nf + m - 1) // tile) * tile
     grid = nf_pad // tile
 

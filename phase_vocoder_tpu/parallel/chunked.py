@@ -47,6 +47,41 @@ from .mesh import make_mesh
 _EPS = 1e-8
 
 
+def _closed_form_phasors(ure, uim, d, F: int, rs: int, ra: int, n_fft: int,
+                         axis: str = "seq"):
+    """P = u_0 (u conj(u_0))^k with u_0 broadcast from device 0 (integer k).
+
+    ure/uim: (..., F_pad, nbp) local unit analysis phasors (leading batch
+    dims allowed). Returns (pre, pim) of the same shape. Pinned DC/Nyquist
+    lanes get P = u * spin^g (g = global frame index) — the telescoped form
+    of the pass-through convention. Rows past the valid frames are garbage
+    and must be masked downstream (mag mask, as the scan path already does).
+    """
+    from ..ops.pallas.fused import _phasor_consts, _pow_k
+
+    u0s = jnp.stack([ure[..., 0, :], uim[..., 0, :]], axis=-2)  # (...,2,nbp)
+    u0g = jax.lax.all_gather(u0s, axis)[0]  # device 0's anchor (...,2,nbp)
+    u0re = jnp.expand_dims(u0g[..., 0, :], -2)  # (..., 1, nbp)
+    u0im = jnp.expand_dims(u0g[..., 1, :], -2)
+    zre = ure * u0re + uim * u0im  # u * conj(u0)
+    zim = uim * u0re - ure * u0im
+    wre, wim = _pow_k(zre, zim, rs, ra)
+    pre = wre * u0re - wim * u0im  # * u0
+    pim = wre * u0im + wim * u0re
+    # Forced-real pinned lanes: P = u * spin^g  (spin = -1 only at the
+    # Nyquist lane when Rs is odd, else +1 everywhere).
+    consts = _phasor_consts(n_fft, ra, rs)
+    pin = jnp.asarray(consts[4])  # (1, nbp)
+    spin = jnp.asarray(consts[5])
+    g = d * F + jnp.arange(ure.shape[-2])  # (F_pad,) global frame index
+    spin_g = jnp.where(
+        spin < 0, jnp.where((g % 2 == 1)[:, None], -1.0, 1.0), 1.0
+    )  # (F_pad, nbp)
+    pre = jnp.where(pin > 0, ure * spin_g, pre)
+    pim = jnp.where(pin > 0, uim * spin_g, pim)
+    return pre, pim
+
+
 def _chunked_body_fused(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     """Fused phasor-form chunk program (runs inside shard_map over 'seq').
 
@@ -82,39 +117,50 @@ def _chunked_body_fused(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: i
         jnp.concatenate([x_sh, halo]), n, ra, rs, scan=False, return_u=True
     )  # lane-padded (F_pad, nbp); F local frames
 
-    # --- boundary: previous chunk's last analysis phasor -> my first term.
-    u_last = jnp.stack([ure[F - 1], uim[F - 1]])  # (2, nbp)
-    u_prev = jax.lax.ppermute(u_last, "seq", right)  # zeros at d=0
-    bre, bim = boundary_step_term(
-        ure[0], uim[0], u_prev[0], u_prev[1], n, ra, rs
-    )
-    # Device 0 keeps the anchor term (t[0] = u_0); others use the boundary
-    # step. Padding terms past the last VALID frame must be identity so the
-    # phasor totals stay exact.
-    j = jnp.arange(tre.shape[0])  # local row (F real frames + lane padding)
-    first = (j == 0)[:, None]
-    use_boundary = jnp.logical_and(first, d > 0)
-    tre = jnp.where(use_boundary, bre[None, :], tre)
-    tim = jnp.where(use_boundary, bim[None, :], tim)
-    # Identity terms for every non-contributing row: local padding rows
-    # (j >= F — the kernel builds them from halo samples, so they are NOT
-    # zero) and globally-past-the-end rows (d*F + j >= nf).
-    valid = ((j < F) & (d * F + j < nf))[:, None]
-    tre = jnp.where(valid, tre, 1.0)
-    tim = jnp.where(valid, tim, 0.0)
+    if rs % ra == 0:
+        # CLOSED FORM (integer k, round 3): the phasor prefix product
+        # telescopes — P_i = u_0 (u_i conj(u_0))^k globally, so the whole
+        # carry machinery (boundary phasor exchange, local scan, totals
+        # all_gather, exclusive prefix product) reduces to ONE broadcast of
+        # the global anchor phasor u_0 (device 0's first row). Pinned
+        # DC/Nyquist lanes keep P_i = u_i spin^i (same telescoping).
+        # Validated vs the f64 golden at 1e-10 (ops/pallas/fused.py).
+        pre, pim = _closed_form_phasors(ure, uim, d, F, rs, ra, n)
+    else:
+        # --- boundary: previous chunk's last analysis phasor -> my first
+        # term (k = 1/2 does not telescope across branch cuts).
+        u_last = jnp.stack([ure[F - 1], uim[F - 1]])  # (2, nbp)
+        u_prev = jax.lax.ppermute(u_last, "seq", right)  # zeros at d=0
+        bre, bim = boundary_step_term(
+            ure[0], uim[0], u_prev[0], u_prev[1], n, ra, rs
+        )
+        # Device 0 keeps the anchor term (t[0] = u_0); others use the
+        # boundary step. Padding terms past the last VALID frame must be
+        # identity so the phasor totals stay exact.
+        j = jnp.arange(tre.shape[0])  # local row (F frames + lane padding)
+        first = (j == 0)[:, None]
+        use_boundary = jnp.logical_and(first, d > 0)
+        tre = jnp.where(use_boundary, bre[None, :], tre)
+        tim = jnp.where(use_boundary, bim[None, :], tim)
+        # Identity terms for every non-contributing row: local padding rows
+        # (j >= F — the kernel builds them from halo samples, so they are
+        # NOT zero) and globally-past-the-end rows (d*F + j >= nf).
+        valid = ((j < F) & (d * F + j < nf))[:, None]
+        tre = jnp.where(valid, tre, 1.0)
+        tim = jnp.where(valid, tim, 0.0)
 
-    # --- local scan + cross-device exclusive prefix product (the carry).
-    pre_l, pim_l = phasor_scan(tre, tim)
-    totals = jax.lax.all_gather(
-        jnp.stack([pre_l[-1], pim_l[-1]]), "seq"
-    )  # (D, 2, nbp)
-    cre_all, cim_all = phasor_prefix_exclusive(totals[:, 0], totals[:, 1])
-    cre = jnp.take(cre_all, d, axis=0)
-    cim = jnp.take(cim_all, d, axis=0)
-    pre = pre_l * cre[None, :] - pim_l * cim[None, :]
-    pim = pre_l * cim[None, :] + pim_l * cre[None, :]
-    inv = jax.lax.rsqrt(jnp.maximum(pre * pre + pim * pim, 1e-30))
-    pre, pim = pre * inv, pim * inv
+        # --- local scan + cross-device exclusive prefix product (carry).
+        pre_l, pim_l = phasor_scan(tre, tim)
+        totals = jax.lax.all_gather(
+            jnp.stack([pre_l[-1], pim_l[-1]]), "seq"
+        )  # (D, 2, nbp)
+        cre_all, cim_all = phasor_prefix_exclusive(totals[:, 0], totals[:, 1])
+        cre = jnp.take(cre_all, d, axis=0)
+        cim = jnp.take(cim_all, d, axis=0)
+        pre = pre_l * cre[None, :] - pim_l * cim[None, :]
+        pim = pre_l * cim[None, :] + pim_l * cre[None, :]
+        inv = jax.lax.rsqrt(jnp.maximum(pre * pre + pim * pim, 1e-30))
+        pre, pim = pre * inv, pim * inv
 
     # --- fused synthesis (un-normalized: masked path), then the same OLA
     # tail exchange as the polar body.
@@ -283,34 +329,38 @@ def _chunked_body_fused_batch(
         scan=False, return_u=True,
     )  # (B, F_pad, nbp)
 
-    u_last = jnp.stack([ure[:, F - 1], uim[:, F - 1]], axis=1)  # (B, 2, nbp)
-    u_prev = jax.lax.ppermute(u_last, "seq", right)
-    bre, bim = boundary_step_term(
-        ure[:, 0], uim[:, 0], u_prev[:, 0], u_prev[:, 1], n, ra, rs
-    )  # (B, nbp)
-    j = jnp.arange(tre.shape[1])
-    first = (j == 0)[None, :, None]
-    use_boundary = jnp.logical_and(first, d > 0)
-    tre = jnp.where(use_boundary, bre[:, None, :], tre)
-    tim = jnp.where(use_boundary, bim[:, None, :], tim)
-    valid = ((j < F) & (d * F + j < nf))[None, :, None]
-    tre = jnp.where(valid, tre, 1.0)
-    tim = jnp.where(valid, tim, 0.0)
+    if rs % ra == 0:
+        # Telescoped closed form (see _closed_form_phasors / the 1-D body).
+        pre, pim = _closed_form_phasors(ure, uim, d, F, rs, ra, n)
+    else:
+        u_last = jnp.stack([ure[:, F - 1], uim[:, F - 1]], axis=1)  # (B,2,nbp)
+        u_prev = jax.lax.ppermute(u_last, "seq", right)
+        bre, bim = boundary_step_term(
+            ure[:, 0], uim[:, 0], u_prev[:, 0], u_prev[:, 1], n, ra, rs
+        )  # (B, nbp)
+        j = jnp.arange(tre.shape[1])
+        first = (j == 0)[None, :, None]
+        use_boundary = jnp.logical_and(first, d > 0)
+        tre = jnp.where(use_boundary, bre[:, None, :], tre)
+        tim = jnp.where(use_boundary, bim[:, None, :], tim)
+        valid = ((j < F) & (d * F + j < nf))[None, :, None]
+        tre = jnp.where(valid, tre, 1.0)
+        tim = jnp.where(valid, tim, 0.0)
 
-    pre_l, pim_l = jax.vmap(phasor_scan)(tre, tim)
-    totals = jax.lax.all_gather(
-        jnp.stack([pre_l[:, -1], pim_l[:, -1]], axis=1), "seq"
-    )  # (D, B, 2, nbp)
-    totals = totals.transpose(1, 0, 2, 3)  # (B, D, 2, nbp)
-    cre_all, cim_all = jax.vmap(phasor_prefix_exclusive)(
-        totals[:, :, 0], totals[:, :, 1]
-    )  # (B, D, nbp)
-    cre = jnp.take(cre_all, d, axis=1)  # (B, nbp)
-    cim = jnp.take(cim_all, d, axis=1)
-    pre = pre_l * cre[:, None, :] - pim_l * cim[:, None, :]
-    pim = pre_l * cim[:, None, :] + pim_l * cre[:, None, :]
-    inv = jax.lax.rsqrt(jnp.maximum(pre * pre + pim * pim, 1e-30))
-    pre, pim = pre * inv, pim * inv
+        pre_l, pim_l = jax.vmap(phasor_scan)(tre, tim)
+        totals = jax.lax.all_gather(
+            jnp.stack([pre_l[:, -1], pim_l[:, -1]], axis=1), "seq"
+        )  # (D, B, 2, nbp)
+        totals = totals.transpose(1, 0, 2, 3)  # (B, D, 2, nbp)
+        cre_all, cim_all = jax.vmap(phasor_prefix_exclusive)(
+            totals[:, :, 0], totals[:, :, 1]
+        )  # (B, D, nbp)
+        cre = jnp.take(cre_all, d, axis=1)  # (B, nbp)
+        cim = jnp.take(cim_all, d, axis=1)
+        pre = pre_l * cre[:, None, :] - pim_l * cim[:, None, :]
+        pim = pre_l * cim[:, None, :] + pim_l * cre[:, None, :]
+        inv = jax.lax.rsqrt(jnp.maximum(pre * pre + pim * pim, 1e-30))
+        pre, pim = pre * inv, pim * inv
 
     mask = (d * F + jnp.arange(F) < nf).astype(mag.dtype)  # (F,)
     mask_b = jnp.broadcast_to(mask[None], (B, F))

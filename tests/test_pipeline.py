@@ -208,6 +208,31 @@ def test_waveform_allclose_gate(cfg, stretch, signal_1s):
     assert err < tol, f"rel err {err:.3e} (cfg={cfg}, stretch={stretch})"
 
 
+@pytest.mark.parametrize(
+    "n_fft,hop",
+    [
+        (512, 128),   # smaller geometry, fold-friendly
+        (2048, 512),  # larger geometry
+        (1024, 160),  # hop divides NEITHER n_fft NOR a power of two:
+                      # exercises gather framing, the general fold OLA,
+                      # and _scale_pair's full two-product (the f32 scale
+                      # rs/ra rounds — round-2 advisor finding)
+        (1024, 320),  # non-dividing, non-pow2 hop, higher overlap
+    ],
+)
+@pytest.mark.parametrize("stretch", [0.5, 2.0])
+def test_waveform_allclose_nonstandard_geometry(n_fft, hop, stretch, signal_1s):
+    """The 1e-4 golden gate off the canonical 1024/256 point, including
+    hops that divide nothing (every BASELINE config divides; these guard
+    the general-geometry paths end to end)."""
+    cfg = PvocConfig(n_fft=n_fft, hop=hop, fft_backend="matmul")
+    ref = pv_ref.phase_vocoder(signal_1s, stretch, n_fft, hop)
+    ours = time_stretch(signal_1s, stretch, cfg)
+    assert len(ours) == len(ref)
+    err = rel_err(ours, ref, edge=n_fft)
+    assert err < 1e-4, f"rel err {err:.3e} ({n_fft}/{hop} @ {stretch})"
+
+
 @pytest.mark.parametrize("semitones", [-12.0, 7.0, 12.0])
 def test_pitch_shift_allclose(semitones, signal_1s):
     cfg = PvocConfig()
