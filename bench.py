@@ -228,8 +228,8 @@ def run_pitch_bench(
         rs = cfg.synthesis_hop(factor)
         fused = pipeline.fused_ok(cfg, rs)
 
-        # Correctness gate on a 4 s slice vs the float64 golden model.
-        xs = x_np[: 4 * sr]
+        # Correctness gate on a >=60 s slice vs the float64 golden model.
+        xs = x_np[: int(min(seconds, 60.0)) * sr]
         ref = pv_ref.pitch_shift(np.asarray(xs, np.float64), s, n_fft, hop)
         ours = np.asarray(pipeline.pitch_shift(xs, s, cfg), np.float64)
         m = min(len(ref), len(ours))

@@ -247,6 +247,91 @@ def _istft_kernel(
     out_ref[:] = buf[:tile]
 
 
+@functools.lru_cache(maxsize=16)
+def _idft_mats_split(n_fft: int):
+    """Host bitmask hi/lo bf16 split of the windowed inverse DFT matrices.
+
+    The inverse is amplitude-domain — the 3-pass bf16 split's ~2^-17
+    operand error passes every golden gate (measured on the fused path,
+    ops/pallas/fused.py) at half the MXU passes of Precision.HIGHEST.
+    """
+    from .fused import _bitsplit_host
+
+    ic, is_ = _idft_mats_padded(n_fft)
+    return _bitsplit_host(ic) + _bitsplit_host(is_)
+
+
+def _istft_frames_kernel(
+    mag_ref, psi_ref, mask_ref, ich, icl, ish, isl, out_ref
+):
+    """One frame tile: polar->cart (VPU cos/sin) + 3-pass bf16 inverse
+    windowed DFT -> windowed output frames (no OLA — the caller overlap-adds
+    with the general-hop fold, so ANY synthesis hop is supported)."""
+    from .fused import _dot_bf16
+
+    mag = mag_ref[:] * mask_ref[:]
+    psi = psi_ref[:]
+    y_re = mag * jnp.cos(psi)
+    y_im = mag * jnp.sin(psi)
+    frames = _dot_bf16(y_re, ich[:], icl[:], 3)
+    out_ref[:] = frames + _dot_bf16(y_im, ish[:], isl[:], 3)
+
+
+def istft_frames(
+    mag: jnp.ndarray,
+    psi: jnp.ndarray,
+    n_fft: int,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Fused polar -> windowed output frames (nf, n_fft), ANY synthesis hop.
+
+    The rs | n_fft case uses istft_ola (OLA fused in-kernel); this kernel
+    serves the general-hop path (non-octave pitch shifts, e.g. rs=342):
+    polar->cart and the inverse DFT fuse in VMEM, and the caller runs the
+    scatter-free general fold OLA (ops/framing.py) on the frames. Replaced
+    the all-XLA polar synthesis on the non-octave path: the cos/sin +
+    matmul chain stays in VMEM and the inverse runs 3-pass bf16 instead of
+    HIGHEST (amplitude-domain, gate-validated).
+    """
+    nf, n_bins = mag.shape
+    if nf == 0:
+        return jnp.zeros((0, n_fft), mag.dtype)
+    nbp = _pad_bins(n_bins)
+    tile = _TILE_F
+    nf_pad = -(-nf // tile) * tile
+    grid = nf_pad // tile
+
+    if frame_mask is None:
+        mask = (jnp.arange(nf_pad) < nf).astype(mag.dtype)
+    else:
+        mask = jnp.zeros((nf_pad,), mag.dtype).at[:nf].set(
+            frame_mask.astype(mag.dtype)
+        )
+    pad_spec = [(0, nf_pad - nf), (0, nbp - n_bins)]
+    mag_p = jnp.pad(mag, pad_spec)
+    psi_p = jnp.pad(psi, pad_spec)
+    ich, icl, ish, isl = _idft_mats_split(n_fft)
+
+    frames = pl.pallas_call(
+        _istft_frames_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, n_fft), lambda i: (i, 0)),
+        out_shape=_out_struct((nf_pad, n_fft), jnp.float32, mag, psi),
+        interpret=_interpret(),
+    )(mag_p, psi_p, mask[:, None], jnp.asarray(ich), jnp.asarray(icl),
+      jnp.asarray(ish), jnp.asarray(isl))
+    return frames[:nf]
+
+
 def istft_ola(
     mag: jnp.ndarray,
     psi: jnp.ndarray,

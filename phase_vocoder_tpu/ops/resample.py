@@ -27,6 +27,7 @@ formulations are ~slope*2^-24 in the waveform — far below the 1e-4 gate.
 
 from __future__ import annotations
 
+import functools
 from fractions import Fraction
 
 import jax
@@ -173,19 +174,77 @@ def _resample_strided_select(
     # >= the clipped one, which the edge padding maps to x[n-1] — exactly
     # the reference clamp semantics.
     k = jnp.clip(k, 0, K - 1)
+    fr2 = jnp.pad(frac, (0, pad_out)).reshape(nb, B)
+    if c <= 1:
+        # Every pitch-shift step lands here (step in (0.5, 2)); the K-way
+        # masked select runs inside a Pallas kernel with VMEM-resident
+        # accumulators — the XLA loop below materializes (nb, B)
+        # intermediates per k and is HBM-bound.
+        out = _select_kernel_call(spans, k, fr2, K=K, c=c)
+        return out.reshape(-1)[:out_len]
     acc_lo = jnp.zeros((nb, B), x.dtype)
     acc_hi = jnp.zeros((nb, B), x.dtype)
     width = c * (B - 1) + 1
     for kk in range(K):
         m = k == kk
-        if c == 0:
-            sl = spans[:, kk : kk + 1]
-            sl1 = spans[:, kk + 1 : kk + 2]
-        else:
-            sl = jax.lax.slice(spans, (0, kk), (nb, kk + width), (1, c))
-            sl1 = jax.lax.slice(spans, (0, kk + 1), (nb, kk + 1 + width), (1, c))
+        sl = jax.lax.slice(spans, (0, kk), (nb, kk + width), (1, c))
+        sl1 = jax.lax.slice(spans, (0, kk + 1), (nb, kk + 1 + width), (1, c))
         acc_lo = acc_lo + jnp.where(m, sl, 0)
         acc_hi = acc_hi + jnp.where(m, sl1, 0)
-    fr2 = jnp.pad(frac, (0, pad_out)).reshape(nb, B)
     out = acc_lo * (1.0 - fr2) + acc_hi * fr2
     return out.reshape(-1)[:out_len]
+
+
+def _select_body(spans_ref, k_ref, fr_ref, out_ref, *, K: int, c: int):
+    """K-way masked select in VMEM: out[r] = lerp(span[c*r + k_r], fr_r).
+
+    One lane-roll per k value (the hi neighbor at k reuses the lo roll at
+    k+1), with (k == value) one-hot selects — no gather, no strided
+    slices; c is 0 or 1 (pitch steps are in (0.5, 2)).
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    sp = spans_ref[:]  # (R, Sp)
+    k = k_ref[:]  # (R, B) int32
+    fr = fr_ref[:]
+    B = k.shape[1]
+    Sp = sp.shape[1]
+    acc_lo = jnp.zeros_like(fr)
+    acc_hi = jnp.zeros_like(fr)
+    for kk in range(K + 1):
+        rolled = pltpu.roll(sp, Sp - kk, 1) if kk else sp
+        # c == 0: column kk broadcasts over B; c == 1: shifted window.
+        cur = rolled[:, :1] if c == 0 else rolled[:, :B]
+        if kk < K:
+            acc_lo = jnp.where(k == kk, cur, acc_lo)
+        if kk > 0:
+            acc_hi = jnp.where(k == kk - 1, cur, acc_hi)
+    out_ref[:] = acc_lo * (1.0 - fr) + acc_hi * fr
+
+
+def _select_kernel_call(spans, k, fr, K: int, c: int):
+    from jax.experimental import pallas as pl
+
+    from .pallas.stft import _interpret, _out_struct
+
+    nb, S = spans.shape
+    B = k.shape[1]
+    R = 32  # rows per grid step (VMEM: R*(Sp+3B)*4 ~ 300 KB)
+    nbp = -(-nb // R) * R
+    Sp = -(-(S) // 128) * 128
+    spans_p = jnp.pad(spans, ((0, nbp - nb), (0, Sp - S)))
+    k_p = jnp.pad(k, ((0, nbp - nb), (0, 0)))
+    fr_p = jnp.pad(fr, ((0, nbp - nb), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_select_body, K=K, c=c),
+        grid=(nbp // R,),
+        in_specs=[
+            pl.BlockSpec((R, Sp), lambda i: (i, 0)),
+            pl.BlockSpec((R, B), lambda i: (i, 0)),
+            pl.BlockSpec((R, B), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, B), lambda i: (i, 0)),
+        out_shape=_out_struct((nbp, B), jnp.float32, spans),
+        interpret=_interpret(),
+    )(spans_p, k_p, fr_p)
+    return out[:nb]

@@ -125,6 +125,20 @@ def synthesize_polar(
                 w, mag.shape[0], rs, method="fold", frame_mask=frame_mask
             )
             return out / norm
+    if cfg.fft_backend == "pallas":
+        # General synthesis hop (rs does not divide n_fft — the non-octave
+        # pitch path): polar->cart + inverse DFT fuse in one kernel, the
+        # scatter-free general fold OLA runs on the windowed frames.
+        from .ops.pallas import istft_frames
+
+        with jax.named_scope("pvoc_synthesize"):
+            y_frames = istft_frames(mag, psi, cfg.n_fft, frame_mask=frame_mask)
+            out = framing.overlap_add(y_frames, rs, method="fold")
+            w = hann_window(cfg.n_fft, dtype=mag.dtype)
+            norm = framing.ola_window_norm(
+                w, mag.shape[0], rs, method="fold", frame_mask=frame_mask
+            )
+            return out / norm
     return synthesize(
         mag * jnp.cos(psi), mag * jnp.sin(psi), cfg, rs, frame_mask=frame_mask
     )

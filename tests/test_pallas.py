@@ -106,10 +106,16 @@ def test_pallas_backend_vs_golden(signal_1s):
 
 
 def test_pallas_fallback_fractional_ratio(signal_1s):
-    """rs that doesn't divide n_fft silently falls back to the matmul path."""
+    """rs that doesn't divide n_fft takes the fused general-hop synthesis
+    (istft_frames: in-VMEM cos/sin + 3-pass bf16 inverse + general fold
+    OLA) — a genuinely different arithmetic path from matmul's HIGHEST
+    inverse, so the two are compared against the GOLDEN contract, not each
+    other (round 3: they differ by ~1.5e-5 from the bf16 inverse alone)."""
+    ref = pv_ref.phase_vocoder(signal_1s, 1.3, N, RA)
     a = np.asarray(time_stretch(signal_1s, 1.3, PvocConfig(fft_backend="pallas")))
     b = np.asarray(time_stretch(signal_1s, 1.3, PvocConfig(fft_backend="matmul")))
-    assert interior_rel_err(a, b) < 1e-5
+    assert interior_rel_err(a, ref) < 1e-4
+    assert interior_rel_err(b, ref) < 1e-4
 
 
 def test_pallas_streaming(signal_4s):
@@ -121,10 +127,15 @@ def test_pallas_streaming(signal_4s):
 
 
 def test_pallas_pitch_shift(signal_1s):
+    """Non-octave pitch on the pallas backend (fused general-hop synthesis,
+    see test_pallas_fallback_fractional_ratio) vs the golden contract."""
+    ref = pv_ref.pitch_shift(signal_1s, -5.0, N, RA)
     a = np.asarray(pitch_shift(signal_1s, -5.0, PvocConfig(fft_backend="pallas")))
     b = np.asarray(pitch_shift(signal_1s, -5.0, PvocConfig(fft_backend="matmul")))
     assert len(a) == len(b)
-    assert interior_rel_err(a, b) < 1e-5
+    m = min(len(a), len(ref))
+    assert interior_rel_err(a[:m], ref[:m]) < 1e-4
+    assert interior_rel_err(b[:m], ref[:m]) < 1e-4
 
 
 def test_pallas_inside_shard_map(signal_4s):
