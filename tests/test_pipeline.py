@@ -155,11 +155,15 @@ def test_phase_accumulation_vs_golden(rs, signal_1s):
 
 
 def test_resample_matches_golden(signal_1s):
+    """Position arithmetic is double-split (block + in-block int/frac), so
+    f32 parity with the f64 golden holds to ~1e-6 at any length (round 3:
+    a single f32 j/factor had ulp ~2.4e-4 samples and dominated the whole
+    pitch pipeline's error budget)."""
     for factor in [0.5, 2.0, 2 ** (7 / 12)]:
         out_len = int(round(len(signal_1s) * factor))
         ref = pv_ref.resample_linear(signal_1s, factor, out_len)
         ours = resample_linear(jnp.asarray(signal_1s, jnp.float32), factor, out_len)
-        assert np.max(np.abs(np.asarray(ours) - ref)) < 1e-4
+        assert np.max(np.abs(np.asarray(ours) - ref)) < 2e-6
 
 
 def test_resample_paths_match_gather_reference(rng):
