@@ -64,6 +64,42 @@ def test_istft_ola_matches_twin(x32k, rs):
     assert float(jnp.max(jnp.abs(y - y2))) < 1e-4 * float(jnp.max(jnp.abs(y2)))
 
 
+@pytest.mark.parametrize("rs", [342, 192, 305])
+def test_istft_frames_general_hop_matches_twin(x32k, rs):
+    """The general-hop synthesis kernel (polar->cart + 3-pass bf16 inverse
+    -> windowed frames) + the general fold OLA matches the matmul-HIGHEST
+    twin within the bf16-inverse tolerance at non-dividing hops."""
+    import jax.numpy as jnp
+
+    from phase_vocoder_tpu.ops.pallas import istft_frames
+
+    mag, phi = stft_polar(jnp.asarray(x32k), N, RA)
+    yf = istft_frames(mag, phi, N)
+    y = framing.overlap_add(yf, rs, method="fold")
+    y_frames = fft_ops.irfft(
+        mag * jnp.cos(phi), mag * jnp.sin(phi), N, backend="matmul",
+        fused_window=True,
+    )
+    y2 = framing.overlap_add(y_frames, rs, method="fold")
+    assert y.shape == y2.shape
+    assert float(jnp.max(jnp.abs(y - y2))) < 1e-4 * float(jnp.max(jnp.abs(y2)))
+
+
+def test_istft_frames_mask_matches_short(x32k):
+    """frame_mask zeroes trailing frames exactly like a shorter input."""
+    import jax.numpy as jnp
+
+    from phase_vocoder_tpu.ops.pallas import istft_frames
+
+    mag, phi = stft_polar(jnp.asarray(x32k), N, RA)
+    keep = mag.shape[0] - 7
+    mask = (jnp.arange(mag.shape[0]) < keep).astype(mag.dtype)
+    a = istft_frames(mag, phi, N, frame_mask=mask)
+    b = istft_frames(mag[:keep], phi[:keep], N)
+    assert jnp.all(a[keep:] == 0.0)
+    assert float(jnp.max(jnp.abs(a[:keep] - b))) == 0.0
+
+
 def test_istft_ola_frame_mask(x32k):
     """Masked trailing frames contribute nothing, matching a shorter run."""
     import jax.numpy as jnp
