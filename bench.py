@@ -73,8 +73,9 @@ def run_bench(
     # creditable (round-1 lesson). If the fast fused path is red, fall back
     # to the full-precision fused path; if that is red too, refuse. The
     # gate slice is >=60 s (VERDICT.md round-2 #4: a 4 s gate on a 14400 s
-    # timing run said nothing about drift at length).
-    gate_secs = int(min(seconds, 60.0))
+    # timing run said nothing about drift at length). Clamped >= 1 s so a
+    # sub-second run still gates on a non-empty slice (ADVICE.md round 3).
+    gate_secs = max(1, int(min(seconds, 60.0)))
     gate = {}
     if check and pipeline.fused_ok(cfg, rs):
         sys.path.insert(0, ".")
@@ -105,6 +106,7 @@ def run_bench(
     # computation actually finishes, so only a host-visible data dependency
     # gives honest timings.
     path = "stream"
+    tile_used = None
     if pipeline.fused_ok(cfg, rs):
         from phase_vocoder_tpu.ops.pallas.fused import fused_time_stretch
 
@@ -112,14 +114,35 @@ def run_bench(
         if gate and gate.get(True, 0.0) >= 1e-4:
             fast = False  # fast path red: time the full-precision path
         path = "fused-fast" if fast else "fused-highest"
-        fn = jax.jit(
-            lambda a: jnp.sum(fused_time_stretch(a, n_fft, hop, rs, fast=fast))
-        )
+
+        def make(tile):
+            return jax.jit(
+                lambda a: jnp.sum(
+                    fused_time_stretch(a, n_fft, hop, rs, fast=fast, tile=tile)
+                )
+            )
+
+        # Tile 384 measured +1.9% over the 256 default at the 14400 s
+        # headline point but trips Mosaic's grid-count-dependent scoped-
+        # VMEM limit at OTHER lengths (PROFILE_r03 / _pick_tile), so try it
+        # and fall back on any compile failure. Only attempted on long
+        # timed slices where it was measured safe; tile does not change the
+        # kernel math (the gate above covers both).
+        fn = None
+        if seconds >= 7200 and jax.default_backend() in ("tpu", "axon"):
+            try:
+                cand = make(384)
+                float(cand(x))  # compile + warmup; raises on VMEM overflow
+                fn = cand
+                tile_used = 384
+            except Exception:
+                fn = None
+        if fn is None:
+            fn = make(None)
+            float(fn(x))
     else:
         fn = jax.jit(lambda a: jnp.sum(stream_time_stretch(a, ratio, cfg)))
-
-    # Warmup / compile.
-    float(fn(x))
+        float(fn(x))
 
     times = []
     for _ in range(iters):
@@ -152,6 +175,8 @@ def run_bench(
         "path": path,
         "iters": iters,
     }
+    if tile_used is not None:
+        rec["tile"] = tile_used
 
     if check:
         if gate:
@@ -180,8 +205,127 @@ def run_bench(
     return rec
 
 
+def run_stream_bench(
+    seconds: float = 14400.0,
+    ratio: float = 2.0,
+    sr: int = 16000,
+    n_fft: int = 1024,
+    hop: int = 256,
+    iters: int = 5,
+    segment_frames: int = 8192,
+    checkpoint: bool = False,
+) -> dict:
+    """Throughput of the STREAMING fused executor (VERDICT r03 #2).
+
+    Times fused_stream_time_stretch — the lax.scan-over-segments program
+    that hour-long single-chip jobs and checkpoint/resume actually ride —
+    on the same signal/metric as the headline bench, gating bitwise
+    equality against the monolithic fused kernel on a 60 s slice (the
+    stream state round-trip is exact, so anything non-identical is a bug).
+    With checkpoint=True, additionally times a checkpointed run end to end
+    (orbax state saves + .npy part writes to a tmpdir included).
+    """
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from phase_vocoder_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from phase_vocoder_tpu import PvocConfig
+    from phase_vocoder_tpu.ops.pallas.fused import fused_time_stretch
+    from phase_vocoder_tpu.streaming import fused_stream_time_stretch
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from golden import pv_ref
+
+    cfg = PvocConfig(n_fft=n_fft, hop=hop, sample_rate=sr, fft_backend="pallas")
+    rs = cfg.synthesis_hop(ratio)
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    x_np = (
+        0.5 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.3 * np.sin(2 * np.pi * (200.0 * t + 40.0 * t * t))
+        + 0.05 * rng.standard_normal(len(t))
+    ).astype(np.float32)
+    x = jax.device_put(jnp.asarray(x_np))
+
+    # Gate: bitwise identity to the monolithic kernel + golden allclose,
+    # on a >= 60 s slice.
+    gate_secs = max(1, int(min(seconds, 60.0)))
+    xs = x_np[: gate_secs * sr]
+    mono = np.asarray(fused_time_stretch(jnp.asarray(xs), n_fft, hop, rs))
+    strm = np.asarray(
+        fused_stream_time_stretch(xs, ratio, cfg, segment_frames=2048)
+    )
+    bitwise = bool(np.array_equal(mono, strm))
+    ref = pv_ref.phase_vocoder(np.asarray(xs, np.float64), ratio, n_fft, hop)
+    sl = slice(n_fft, len(ref) - n_fft)
+    err = float(
+        np.max(np.abs(np.asarray(strm, np.float64)[sl] - ref[sl]))
+        / np.max(np.abs(ref[sl]))
+    )
+
+    fn = jax.jit(
+        lambda a: jnp.sum(
+            fused_stream_time_stretch(a, ratio, cfg, segment_frames=segment_frames)
+        )
+    )
+    float(fn(x))  # compile + warmup
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(fn(x))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+
+    rec = {
+        "metric": "streaming_fused_audio_seconds_per_second",
+        "value": round(seconds / best, 1),
+        "unit": "audio-s/s",
+        "ratio": ratio,
+        "segment_frames": segment_frames,
+        "wall_s_best": round(best, 4),
+        "audio_seconds": seconds,
+        "device": str(jax.devices()[0]),
+        "iters": iters,
+        "bitwise_equals_monolithic_60s": bitwise,
+        "allclose_rel_err": round(err, 8),
+        "allclose_pass": bool(err < 1e-4),
+    }
+
+    if checkpoint:
+        from phase_vocoder_tpu.utils.checkpoint import (
+            checkpointed_fused_stream_time_stretch,
+        )
+
+        ckdir = tempfile.mkdtemp(prefix="pvoc_bench_ck_")
+        try:
+            t0 = time.perf_counter()
+            out = checkpointed_fused_stream_time_stretch(
+                x_np, ratio, cfg, checkpoint_dir=ckdir,
+                segment_frames=segment_frames, batch_segments=8,
+            )
+            np.asarray(out)
+            wall = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(ckdir, ignore_errors=True)
+        rec["checkpointed_wall_s"] = round(wall, 4)
+        rec["checkpointed_audio_s_per_s"] = round(seconds / wall, 1)
+        rec["checkpointed_note"] = (
+            "end-to-end incl. compile of the batch program, orbax state "
+            "saves and .npy part writes every 8 segments"
+        )
+
+    return rec
+
+
 def run_pitch_bench(
-    seconds: float = 600.0,
+    seconds: float = 3600.0,
     sr: int = 16000,
     n_fft: int = 1024,
     hop: int = 256,
@@ -228,8 +372,9 @@ def run_pitch_bench(
         rs = cfg.synthesis_hop(factor)
         fused = pipeline.fused_ok(cfg, rs)
 
-        # Correctness gate on a >=60 s slice vs the float64 golden model.
-        xs = x_np[: int(min(seconds, 60.0)) * sr]
+        # Correctness gate on a >=60 s slice vs the float64 golden model
+        # (clamped >= 1 s — same empty-slice guard as run_bench).
+        xs = x_np[: max(1, int(min(seconds, 60.0))) * sr]
         ref = pv_ref.pitch_shift(np.asarray(xs, np.float64), s, n_fft, hop)
         ours = np.asarray(pipeline.pitch_shift(xs, s, cfg), np.float64)
         m = min(len(ref), len(ours))
@@ -250,10 +395,31 @@ def run_pitch_bench(
             float(fn(x))
             times.append(time.perf_counter() - t0)
         best = min(times)
+        # Attribution: the same pipeline minus the resampler (stretch-only)
+        # — the full-minus-stretch delta is what resampling costs.
+        fn_ts = jax.jit(
+            lambda a, rs=rs: jnp.sum(pipeline._time_stretch_jit(a, cfg, rs))
+        )
+        float(fn_ts(x))
+        ts_times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            float(fn_ts(x))
+            ts_times.append(time.perf_counter() - t0)
+        ts_best = min(ts_times)
+        if pipeline.fused_ok(cfg, rs):
+            path = "fused"
+        elif pipeline.phasor_general_ok(cfg, rs):
+            path = "phasor-general"
+        else:
+            path = "polar-fold-ola"
         per[f"{s:+g}st"] = {
             "audio_s_per_s": round(seconds / best, 1),
-            "path": "fused" if fused else "polar-fold-ola",
+            "path": path,
             "rs": rs,
+            "wall_s_best": round(best, 4),
+            "stretch_only_wall_s": round(ts_best, 4),
+            "resample_share_of_wall": round(max(0.0, best - ts_best) / best, 4),
             "rel_err_vs_golden": round(err, 8),
             "allclose_pass": bool(err < 1e-4),
         }
@@ -367,7 +533,21 @@ def main(argv=None) -> int:
              "64-utterance batched TSM through the 2-D-grid fused kernel)",
     )
     ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="emit the streaming fused-executor bench instead "
+             "(lax.scan over single-kernel segments; the checkpoint path)",
+    )
+    ap.add_argument("--stream-checkpoint", action="store_true",
+                    help="with --stream: also time a checkpointed run")
     args = ap.parse_args(argv)
+    if args.stream:
+        rec = run_stream_bench(
+            seconds=args.seconds, ratio=args.ratio, iters=args.iters,
+            checkpoint=args.stream_checkpoint,
+        )
+        print(json.dumps(rec))
+        return 0
     if args.batch:
         rec = run_batch_bench(batch=args.batch_size, iters=args.iters)
         print(json.dumps(rec))

@@ -89,11 +89,13 @@ from .stft import (
 
 __all__ = [
     "phasor_supported",
+    "phasor_terms_supported",
     "stft_phasor_terms",
     "phasor_scan",
     "phasor_istft_ola",
     "fused_time_stretch",
     "fused_time_stretch_batch",
+    "fused_stream_segment",
 ]
 
 # Numerical notes:
@@ -110,6 +112,34 @@ __all__ = [
 #    hour-long material) pass at <1e-4.
 
 _TINY = 1e-30
+
+# Framing construction inside the kernels: "roll" = pltpu.roll of the
+# two-tile rows block (sublane rotate, always aligned); "slice" = static
+# sublane-offset slices block[s : s + tile] (Mosaic inserts a relayout for
+# non-multiple-of-8 offsets — may beat the full rotate since only `tile`
+# of the 2*tile rows are kept). Measured A/B on chip in PROFILE_r04;
+# trace-time knob — jax.clear_caches() after flipping.
+_FRAMING = "roll"
+
+
+def set_framing_mode(mode: str) -> None:
+    global _FRAMING
+    assert mode in ("roll", "slice"), mode
+    _FRAMING = mode
+
+
+def _build_frames(rows_a, rows_b, tile: int, overlap: int):
+    """(tile, overlap*hop) frame tile from two consecutive rows tiles."""
+    block = jnp.concatenate([rows_a, rows_b], axis=0)  # (2*tile, hop)
+    if _FRAMING == "slice":
+        parts = [block[s : s + tile] for s in range(overlap)]
+    else:
+        nb2 = 2 * tile  # pltpu.roll needs non-negative shifts: -s == nb2-s
+        parts = [
+            (pltpu.roll(block, nb2 - s, 0) if s else block)[:tile]
+            for s in range(overlap)
+        ]
+    return jnp.concatenate(parts, axis=-1)
 
 def _pick_tile(n_fft: int, rs: int, nf: int) -> int:
     """Frames per grid step for the single-kernel path: 256.
@@ -128,58 +158,100 @@ def _pick_tile(n_fft: int, rs: int, nf: int) -> int:
 
 
 def phasor_supported(n_fft: int, ra: int, rs: int, max_int_k: int = 8) -> bool:
-    """True when the fused phasor path covers this geometry.
+    """True when the fully fused single-kernel phasor path covers this
+    geometry.
 
     Needs the fold framing/OLA layout (Ra | N, Rs | N, overlap >= 2) and a
-    hop ratio k = Rs/Ra that is a small positive integer or exactly 1/2.
+    hop ratio k = Rs/Ra = p/q with q in {1, 2, 4} and small p (_pow_k).
     Covers every BASELINE operating point (stretch 0.5/1/2, pitch +-12).
     """
     if n_fft % ra != 0 or n_fft % rs != 0 or n_fft // rs < 2:
         return False
-    if rs % ra == 0 and 1 <= rs // ra <= max_int_k:
-        return True
-    return ra == 2 * rs
+    p, q = _rational_k(rs, ra)
+    return q in (1, 2, 4) and 1 <= p <= max_int_k
+
+
+def phasor_terms_supported(n_fft: int, ra: int, rs: int, max_p: int = 8) -> bool:
+    """True when the SPLIT phasor path (stft_phasor_terms + general-hop
+    synthesis) covers this geometry — the fold OLA constraint (Rs | N) is
+    dropped, so rational hops like stretch 1.5 (Rs=384 at N=1024) and the
+    -5/+7 st pitch hops (Rs=192/384 -> k=3/4, 3/2) ride the phasor-form
+    analysis instead of the polar arctan2 + compensated-scan path.
+    """
+    if n_fft % ra != 0 or rs <= 0:
+        return False
+    p, q = _rational_k(rs, ra)
+    return q in (1, 2, 4) and 1 <= p <= max_p
+
+
+def _rational_k(rs: int, ra: int) -> tuple[int, int]:
+    """Reduced (p, q) with k = Rs/Ra = p/q."""
+    import math
+
+    g = math.gcd(rs, ra)
+    return rs // g, ra // g
+
+
+def _int_pow(zre, zim, k: int):
+    """z^k for non-negative integer k — squaring, statically unrolled."""
+    rre = jnp.ones_like(zre)
+    rim = jnp.zeros_like(zim)
+    base_re, base_im = zre, zim
+    e = k
+    while e > 0:
+        if e & 1:
+            rre, rim = (
+                rre * base_re - rim * base_im,
+                rre * base_im + rim * base_re,
+            )
+        e >>= 1
+        if e:
+            base_re, base_im = (
+                base_re * base_re - base_im * base_im,
+                2.0 * base_re * base_im,
+            )
+    return rre, rim
+
+
+def _principal_sqrt(zre, zim):
+    """Principal square root (Re >= 0) of unit-modulus z, elementwise.
+
+    Half-angle of princarg(d) lands in (-pi/2, pi/2]; the zim >= 0 branch
+    at zre = -1 picks +i, matching princarg(pi) = pi -> pi/2. Branch on
+    sign(zre) so neither sqrt suffers cancellation (1+zre near zre=-1
+    loses half the mantissa, which would random-walk into the prefix
+    product over long audio).
+    """
+    re_pos = jnp.sqrt(jnp.maximum(0.5 * (1.0 + zre), 0.25))  # zre >= 0
+    im_pos = zim / (2.0 * re_pos)
+    t_neg = jnp.sqrt(jnp.maximum(0.5 * (1.0 - zre), 0.25))  # zre < 0
+    im_neg = jnp.where(zim >= 0, t_neg, -t_neg)
+    re_neg = jnp.abs(zim) / (2.0 * t_neg)
+    pos = zre >= 0
+    return (
+        jnp.where(pos, re_pos, re_neg),
+        jnp.where(pos, im_pos, im_neg),
+    )
 
 
 def _pow_k(zre, zim, rs: int, ra: int):
-    """z^k for k = rs/ra (integer or 1/2), unit-modulus z, elementwise."""
-    if rs % ra == 0:
-        k = rs // ra
-        # Exponentiation by squaring, statically unrolled (k <= max_int_k).
-        rre = jnp.ones_like(zre)
-        rim = jnp.zeros_like(zim)
-        base_re, base_im = zre, zim
-        e = k
-        while e > 0:
-            if e & 1:
-                rre, rim = (
-                    rre * base_re - rim * base_im,
-                    rre * base_im + rim * base_re,
-                )
-            e >>= 1
-            if e:
-                base_re, base_im = (
-                    base_re * base_re - base_im * base_im,
-                    2.0 * base_re * base_im,
-                )
-        return rre, rim
-    if ra == 2 * rs:
-        # Principal square root (Re >= 0): half-angle of princarg(d) lands in
-        # (-pi/2, pi/2]; the zim >= 0 branch at zre = -1 picks +i, matching
-        # princarg(pi) = pi -> pi/2. Branch on sign(zre) so neither sqrt
-        # suffers cancellation (1+zre near zre=-1 loses half the mantissa,
-        # which would random-walk into the prefix product over long audio).
-        re_pos = jnp.sqrt(jnp.maximum(0.5 * (1.0 + zre), 0.25))  # zre >= 0
-        im_pos = zim / (2.0 * re_pos)
-        t_neg = jnp.sqrt(jnp.maximum(0.5 * (1.0 - zre), 0.25))  # zre < 0
-        im_neg = jnp.where(zim >= 0, t_neg, -t_neg)
-        re_neg = jnp.abs(zim) / (2.0 * t_neg)
-        pos = zre >= 0
-        return (
-            jnp.where(pos, re_pos, re_neg),
-            jnp.where(pos, im_pos, im_neg),
-        )
-    raise ValueError(f"unsupported hop ratio rs/ra = {rs}/{ra}")
+    """z^k for rational k = rs/ra = p/q (q in {1, 2, 4}), unit z, elementwise.
+
+    e^{i k princarg(d)}: take the principal q-th root FIRST (for q = 2^j,
+    j nested principal square roots — arg lands in (-pi/q, pi/q], exactly
+    princarg(d)/q), then the integer p-th power (angles < pi so no wrap).
+    q = 1 is the exact integer path; q > 1 inherits the k = 1/2 branch-cut
+    caveat (see the numerical notes at the top of this module).
+    """
+    p, q = _rational_k(rs, ra)
+    if q not in (1, 2, 4):
+        raise ValueError(f"unsupported hop ratio rs/ra = {rs}/{ra}")
+    wre, wim = zre, zim
+    for _ in range(q.bit_length() - 1):
+        wre, wim = _principal_sqrt(wre, wim)
+    if p == 1:
+        return wre, wim
+    return _int_pow(wre, wim, p)
 
 
 def _split32(x):
@@ -446,14 +518,8 @@ def _terms_tile(
     the tile index within the current recording — program_id(0) in the 1-D
     kernel, program_id(1) in the batched (batch, tile) grid."""
     # Framing: frame j of this tile = rows[j .. j+overlap) of the two-tile
-    # block, concatenated along lanes. pltpu.roll keeps every slice aligned.
-    block = jnp.concatenate([rows_a, rows_b], axis=0)  # (2*tile, hop)
-    nb2 = 2 * tile  # pltpu.roll requires a non-negative shift: -s == nb2-s
-    parts = [
-        (pltpu.roll(block, nb2 - s, 0) if s else block)[:tile]
-        for s in range(overlap)
-    ]
-    frames = jnp.concatenate(parts, axis=-1)  # (tile, n_fft)
+    # block, concatenated along lanes (_build_frames: roll/slice A-B knob).
+    frames = _build_frames(rows_a, rows_b, tile, overlap)  # (tile, n_fft)
 
     re = jnp.dot(frames, fc, preferred_element_type=jnp.float32,
                  precision=_PRECISION)
@@ -809,7 +875,7 @@ def _synth_kernel(
 ):
     """1-D-grid wrapper over _synth_tile.
 
-    norm_ref: (8, rs) inverse-normalization table — rows 0..m-2 are the
+    norm_ref: (R>=8, rs) inverse-normalization table — rows 0..m-2 are the
     head-edge 1/(partial window-energy) rows, row m-1 the interior 1/COLA
     row (interior normalization is frame-index-independent, so the whole
     divide pass folds into this kernel; the m-1 tail rows are normalized by
@@ -860,19 +926,20 @@ def _synth_kernel_batched(
 
 @functools.lru_cache(maxsize=16)
 def _ola_norm_tables(n_fft: int, rs: int, eps: float = 1e-8):
-    """(head_table (8, rs) f32, tail_inv (m-1, rs) f32).
+    """(head_table (R, rs) f32, tail_inv (m-1, rs) f32); R = 8-aligned >= m.
 
     head_table rows 0..m-2: inverse partial window-energy for the first m-1
-    output rows; rows m-1..7: inverse interior COLA energy (the same for
+    output rows; rows m-1..R-1: inverse interior COLA energy (the same for
     every interior row — this is what makes in-kernel normalization a
     constant-table multiply). tail_inv normalizes the m-1 tail rows.
     """
     m = n_fft // rs
+    rows = max(8, -(-m // 8) * 8)  # sublane-aligned, covers overlap m > 8
     t = np.arange(n_fft, dtype=np.float64)
     w2 = (0.5 - 0.5 * np.cos(2.0 * np.pi * t / n_fft)) ** 2
     seg = w2.reshape(m, rs)
     full = np.maximum(seg.sum(axis=0), eps)
-    head = np.full((8, rs), 1.0 / full, np.float64)
+    head = np.full((rows, rs), 1.0 / full, np.float64)
     for r in range(m - 1):
         head[r] = 1.0 / np.maximum(seg[: r + 1].sum(axis=0), eps)
     tail_inv = np.empty((m - 1, rs), np.float64)
@@ -919,7 +986,7 @@ def phasor_istft_ola(
     if normalize:
         head_tbl, tail_inv = _ola_norm_tables(n_fft, rs)
     else:
-        head_tbl = np.ones((8, rs), np.float32)
+        head_tbl = np.ones((max(8, -(-m // 8) * 8), rs), np.float32)
         tail_inv = np.ones((m - 1, rs), np.float32)
 
     main = pl.pallas_call(
@@ -932,7 +999,7 @@ def phasor_istft_ola(
             pl.BlockSpec((tile, 1), lambda i: (i, 0)),
             pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
             pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
-            pl.BlockSpec((8, rs), lambda i: (0, 0)),
+            pl.BlockSpec(head_tbl.shape, lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tile, rs), lambda i: (i, 0)),
         out_shape=_out_struct((nf_pad, rs), jnp.float32, mag, pre),
@@ -992,7 +1059,7 @@ def phasor_istft_ola_batch(
     if normalize:
         head_tbl, tail_inv = _ola_norm_tables(n_fft, rs)
     else:
-        head_tbl = np.ones((8, rs), np.float32)
+        head_tbl = np.ones((max(8, -(-m // 8) * 8), rs), np.float32)
         tail_inv = np.ones((m - 1, rs), np.float32)
 
     main = pl.pallas_call(
@@ -1005,7 +1072,7 @@ def phasor_istft_ola_batch(
             pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0)),
             pl.BlockSpec((nbp, n_fft), lambda b, i: (0, 0)),
             pl.BlockSpec((nbp, n_fft), lambda b, i: (0, 0)),
-            pl.BlockSpec((8, rs), lambda b, i: (0, 0)),
+            pl.BlockSpec(head_tbl.shape, lambda b, i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile, rs), lambda b, i: (b, i, 0)),
         out_shape=_out_struct((B, nf_pad, rs), jnp.float32, mag, pre),
@@ -1031,7 +1098,7 @@ def _pvoc_tile(
     i, rows_a, rows_b, mats, consts, carry_ref, tail_ref, fmask,
     *, overlap: int, rs: int, ra: int, m: int, tile: int,
     fwd_passes: int, inv_passes: int, fold: bool, ablate: str = "",
-    inv_rev_passes: int = 3,
+    inv_rev_passes: int = 3, started=None, goff=None,
 ):
     """The whole phase vocoder in ONE kernel pass per frame tile.
 
@@ -1075,7 +1142,9 @@ def _pvoc_tile(
     # attribution (scripts/tpu_profile.py) — the output is WRONG with any
     # set; never set on a product path. "fwd1"/"inv1": the DFT matmuls as
     # single bf16 passes; "rev": skip the fold lane reversals; "scan":
-    # skip the prefix scan; "terms": skip the phasor-term algebra.
+    # skip the prefix scan; "terms": skip the phasor-term algebra;
+    # "frame": skip the framing rolls; "mag": skip the sqrt/rsqrt
+    # magnitude/normalize stage; "ola": skip the fold overlap-add.
     skip = set(ablate.split("+")) if ablate else set()
     if "rev" in skip:
         rev_fwd = rev_inv = lambda v, _r: v
@@ -1084,13 +1153,10 @@ def _pvoc_tile(
         rev_inv = functools.partial(_rev_lanes, passes=inv_rev_passes)
 
     # --- framing + forward DFT
-    block = jnp.concatenate([rows_a, rows_b], axis=0)
-    nb2 = 2 * tile
-    parts = [
-        (pltpu.roll(block, nb2 - s, 0) if s else block)[:tile]
-        for s in range(overlap)
-    ]
-    frames = jnp.concatenate(parts, axis=-1)
+    if "frame" in skip:
+        frames = jnp.concatenate([rows_a] * overlap, axis=-1)
+    else:
+        frames = _build_frames(rows_a, rows_b, tile, overlap)
     if fold:
         # Even/odd fold (see _fold_consts): half-length matmuls at HIGHEST
         # (default; fwd_passes>0 is a profiler A/B knob — the bf16 splits
@@ -1129,14 +1195,25 @@ def _pvoc_tile(
                      precision=_PRECISION)
 
     # --- phasor terms (general bins; packed lane 0 is overridden at Y)
-    n2 = re * re + im * im
-    mag = jnp.sqrt(n2)
-    safe = mag > _TINY
-    inv = jax.lax.rsqrt(jnp.maximum(n2, _TINY))
-    ure = jnp.where(safe, re * inv, 1.0)
-    uim = jnp.where(safe, im * inv, 0.0)
+    if "mag" in skip:
+        mag, ure, uim = re, re, im
+    else:
+        n2 = re * re + im * im
+        inv = jax.lax.rsqrt(jnp.maximum(n2, _TINY))
+        # mag as n2 * rsqrt(n2) (one transcendental instead of sqrt+rsqrt;
+        # ~1-2 ulp off exact sqrt — amplitude-domain, far under the gate).
+        mag = n2 * inv
+        safe = n2 > _TINY
+        ure = jnp.where(safe, re * inv, 1.0)
+        uim = jnp.where(safe, im * inv, 0.0)
     row_idx = jax.lax.broadcasted_iota(jnp.int32, ure.shape, 0)
     row0 = row_idx == 0
+    # Streaming mode (started/goff given): carry_ref is PRELOADED from the
+    # previous segment's state at i == 0 by the wrapper, so the "tile 0"
+    # resets only fire on the very first segment (started == 0) and the
+    # cross-tile carry reads are unconditional.
+    stream = started is not None
+    anchor_now = (i == 0) & (started == 0) if stream else (i == 0)
     closed = rs % ra == 0 and not skip & {"terms", "scan", "noclosed"}
     if closed:
         # CLOSED FORM (integer k, round 3): the prefix product TELESCOPES.
@@ -1149,7 +1226,7 @@ def _pvoc_tile(
         # carry — just the anchor phasor u_0 persisted in scratch. (k = 1/2
         # does NOT telescope — principal square roots don't commute with
         # the product across branch cuts — and keeps the scan below.)
-        @pl.when(i == 0)
+        @pl.when(anchor_now)
         def _():
             carry_ref[0, :] = ure[0, :]
             carry_ref[1, :] = uim[0, :]
@@ -1180,7 +1257,7 @@ def _pvoc_tile(
             wre, wim = _pow_k(zre, zim, rs, ra)
             tre = wre * cre - wim * cim
             tim = wre * cim + wim * cre
-        first = row0 & (i == 0)
+        first = row0 & anchor_now
         tre = jnp.where(first, ure, tre)
         tim = jnp.where(first, uim, tim)
 
@@ -1195,8 +1272,14 @@ def _pvoc_tile(
             sim = jnp.where(keep, 0.0, sim)
             tre, tim = tre * sre - tim * sim, tre * sim + tim * sre
             d *= 2
-        c_re = jnp.where(i == 0, 1.0, carry_ref[2:3, :])
-        c_im = jnp.where(i == 0, 0.0, carry_ref[3:4, :])
+        if stream:
+            # carry_ref rows 2:3 were preloaded from the previous segment
+            # (identity on the very first one) at i == 0.
+            c_re = carry_ref[2:3, :]
+            c_im = carry_ref[3:4, :]
+        else:
+            c_re = jnp.where(i == 0, 1.0, carry_ref[2:3, :])
+            c_im = jnp.where(i == 0, 0.0, carry_ref[3:4, :])
         tre, tim = tre * c_re - tim * c_im, tre * c_im + tim * c_re
         inv_p = jax.lax.rsqrt(jnp.maximum(tre * tre + tim * tim, _TINY))
         tre = tre * inv_p
@@ -1209,6 +1292,8 @@ def _pvoc_tile(
 
     # --- synthesis: Y = mag * P (masked past the last real frame)
     gidx = i * tile + row_idx
+    if goff is not None:
+        gidx = gidx + goff  # global frame index across streaming segments
     y_re = mag * fmask * tre
     y_im = mag * fmask * tim
     # Packed forced-real lane: Y_i = X_i * spin^i — pass-through, times an
@@ -1252,6 +1337,8 @@ def _pvoc_tile(
 
     # --- fold OLA with tail carry + in-kernel normalization
     zrow = jnp.zeros((1, rs), jnp.float32)
+    if "ola" in skip:
+        return jnp.concatenate([frames_o[:, :rs]] + [zrow] * (m - 1), axis=0)
     buf = jnp.concatenate([frames_o[:, :rs]] + [zrow] * (m - 1), axis=0)
     for s in range(1, m):
         shifted = jnp.concatenate(
@@ -1293,6 +1380,9 @@ def _pvoc_kernel(
         fwd_passes=fwd_passes, inv_passes=inv_passes, fold=fold,
         ablate=ablate, inv_rev_passes=inv_rev_passes,
     )
+    if "norm" in (set(ablate.split("+")) if ablate else set()):
+        out_ref[:] = buf[:tile]
+        return
     out_ref[:] = buf[:tile] * norm[m - 1 : m, :]
 
     @pl.when(i == 0)
@@ -1349,9 +1439,11 @@ def _pvoc_kernel_batched(
 # bf16-split pass counts for fused_time_stretch(fast=True). The forward
 # DFT feeds the phasor u and must stay at HIGHEST (0): a 2-way bf16 split
 # leaves a ~2^-17 OPERAND representation error (al is bf16-rounded), and
-# the 4th (al*bl) pass cannot recover it — measured round 3 (60 s golden,
-# interpret): 4-pass = 7.9e-5 at k=2 and 1.29e-4 at k=4 (over the gate;
-# phase noise scales with k), vs HIGHEST's ~2e-5. bf16-split DFT precision
+# the 4th (al*bl) pass cannot recover it — rejection evidence ON CHIP
+# (PROFILE_r03.json accuracy_60s_vs_golden): 4-pass = 2.8e-4 at 2.0x and
+# 0.34 at 0.5x (k=1/2 branch flips), far over the 1e-4 gate; interpret
+# mode reads lower (7.9e-5 at k=2, 1.29e-4 at k=4) but the chip numbers
+# are binding. HIGHEST measures ~2e-5 on chip. bf16-split DFT precision
 # is effectively quantized: 3-4 passes ~2^-16, 6 passes (HIGHEST) ~2^-24 —
 # nothing cheaper in between, so the forward keeps all 6. The inverse is
 # amplitude-only, where 2^-17 is harmless: 3-pass passes every gate with
@@ -1491,7 +1583,7 @@ def fused_time_stretch(
         ]
         + mat_specs
         + [pl.BlockSpec((1, nbq), lambda i: (0, 0))] * 4
-        + [pl.BlockSpec((8, rs), lambda i: (0, 0))],
+        + [pl.BlockSpec(head_tbl.shape, lambda i: (0, 0))],
         out_specs=pl.BlockSpec((tile, rs), lambda i: (i, 0)),
         out_shape=_out_struct((nf_pad, rs), jnp.float32, x),
         scratch_shapes=[
@@ -1508,6 +1600,143 @@ def fused_time_stretch(
     tail = main[nf : nf + m - 1] * fix
     full = jnp.concatenate([main[:nf].reshape(-1), tail.reshape(-1)])
     return full[:out_len]
+
+
+def _pvoc_kernel_stream(
+    flags, rows_a, rows_b, fch, fcl, fsh, fsl, ich, icl, ish, isl, rev, frows,
+    hre, him, cre, cim, norm, fm, carry_in, tail_in,
+    out_ref, carry_out, tail_out, carry_ref, tail_ref,
+    *, overlap: int, rs: int, ra: int, m: int, tile: int,
+    fwd_passes: int, inv_passes: int, fold: bool, inv_rev_passes: int = 3,
+):
+    """Streaming wrapper over _pvoc_tile: one fixed-shape SEGMENT per call.
+
+    The cross-segment state of the fused phasor pipeline is tiny — the
+    carry block (4, nbq: u_prev / u_0 anchor phasor + running synthesis
+    phasor P) and the OLA spill (m-1, rs) — and flows in as inputs and out
+    as outputs, so a lax.scan over segments reproduces the monolithic
+    kernel EXACTLY (the same scratch state, round-tripped through HBM
+    between segments). flags (SMEM, (1, 2) int32) carries [started,
+    global frame offset]: tile-0 anchor resets only fire on the very first
+    segment; the offset keeps the (odd-Rs) Nyquist sign parity global.
+    This is the single-kernel answer to VERDICT r03 #2 — the streaming /
+    checkpoint executor riding the phasor kernels instead of the polar
+    compensated-pair scan.
+    """
+    i = pl.program_id(0)
+    started = flags[0, 0]
+    goff = flags[0, 1]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = carry_in[:]
+        tail_ref[:] = tail_in[:]
+
+    mats = (
+        fch[:], fcl[:], fsh[:], fsl[:],
+        ich[:], icl[:], ish[:], isl[:], rev[:], frows[:],
+    )
+    consts = (hre[:], him[:], cre[:], cim[:])
+    buf = _pvoc_tile(
+        i, rows_a[:], rows_b[:], mats, consts, carry_ref, tail_ref, fm[:],
+        overlap=overlap, rs=rs, ra=ra, m=m, tile=tile,
+        fwd_passes=fwd_passes, inv_passes=inv_passes, fold=fold,
+        inv_rev_passes=inv_rev_passes, started=started, goff=goff,
+    )
+    out_ref[:] = buf[:tile] * norm[m - 1 : m, :]
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(m - 1):
+            out_ref[j, :] = buf[j, :] * norm[j, :]
+
+    # Unconditional per-step state copy (tiny): the last grid step's values
+    # are what lands in HBM — the next segment's carry_in/tail_in.
+    carry_out[:] = carry_ref[:]
+    tail_out[:] = tail_ref[:]
+
+
+def fused_stream_segment(
+    rows_seg: jnp.ndarray,
+    carry: jnp.ndarray,
+    tail: jnp.ndarray,
+    started: jnp.ndarray,
+    frame_offset: jnp.ndarray,
+    fmask: jnp.ndarray,
+    norm_tbl: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    rs: int,
+    fast: bool = True,
+    tile: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One F-frame segment of the streaming fused TSM (see _pvoc_kernel_stream).
+
+    rows_seg: (F + tile, hop) rows view (F % tile == 0; the extra tile is
+    the framing lookahead). carry: (4, nbq) f32; tail: (m-1, rs) f32;
+    started / frame_offset: () int32; fmask: (F, 1) f32 valid-frame mask;
+    norm_tbl: (R>=8, rs) — the head table on the first segment, the interior
+    row broadcast on continuing ones (streaming.py builds it).
+    Returns (out (F, rs) interior-normalized, carry', tail').
+    """
+    if n_fft % hop != 0 or n_fft % rs != 0 or n_fft // rs < 2:
+        raise ValueError("fused stream requires hop | n_fft, rs | n_fft, overlap >= 2")
+    overlap = n_fft // hop
+    m = n_fft // rs
+    nbq = _pad_bins(n_fft // 2)
+    tile = _pick_tile(n_fft, rs, 0) if tile is None else tile
+    F = rows_seg.shape[0] - tile
+    if F <= 0 or F % tile != 0:
+        raise ValueError(f"segment frames {F} must be a positive multiple of tile {tile}")
+    grid = F // tile
+
+    mats, fwd_passes, inv_passes, fold = _pvoc_mats(n_fft, fast)
+    consts = tuple(
+        jnp.asarray(c) for c in _phasor_consts_packed(n_fft, hop, rs)
+    )
+    flags = jnp.stack(
+        [jnp.asarray(started), jnp.asarray(frame_offset)]
+    ).reshape(1, 2).astype(jnp.int32)
+
+    mat_specs = [pl.BlockSpec(m_.shape, lambda i: (0, 0)) for m_ in mats]
+    out, carry_out, tail_out = pl.pallas_call(
+        functools.partial(
+            _pvoc_kernel_stream, overlap=overlap, rs=rs, ra=hop, m=m,
+            tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
+            fold=fold, inv_rev_passes=_INV_REV_PASSES,
+        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, hop), lambda i: (i, 0)),
+            pl.BlockSpec((tile, hop), lambda i: (i + 1, 0)),
+        ]
+        + mat_specs
+        + [pl.BlockSpec((1, nbq), lambda i: (0, 0))] * 4
+        + [
+            pl.BlockSpec(norm_tbl.shape, lambda i: (0, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((4, nbq), lambda i: (0, 0)),
+            pl.BlockSpec((m - 1, rs), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, rs), lambda i: (i, 0)),
+            pl.BlockSpec((4, nbq), lambda i: (0, 0)),
+            pl.BlockSpec((m - 1, rs), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            _out_struct((F, rs), jnp.float32, rows_seg),
+            _out_struct((4, nbq), jnp.float32, rows_seg, carry),
+            _out_struct((m - 1, rs), jnp.float32, rows_seg, tail),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, nbq), jnp.float32),
+            pltpu.VMEM((m - 1, rs), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(flags, rows_seg, rows_seg, *(jnp.asarray(m_) for m_ in mats), *consts,
+      jnp.asarray(norm_tbl), fmask, carry, tail)
+    return out, carry_out, tail_out
 
 
 def fused_time_stretch_batch(
@@ -1589,7 +1818,7 @@ def fused_time_stretch_batch(
         + mat_specs
         + [pl.BlockSpec((1, nbq), lambda b, i: (0, 0))] * 4
         + [
-            pl.BlockSpec((8, rs), lambda b, i: (0, 0)),
+            pl.BlockSpec(head_tbl.shape, lambda b, i: (0, 0)),
             pl.BlockSpec((1, tile, 1), lambda b, i: (b, i, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile, rs), lambda b, i: (b, i, 0)),

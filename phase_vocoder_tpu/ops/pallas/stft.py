@@ -277,6 +277,71 @@ def _istft_frames_kernel(
     out_ref[:] = frames + _dot_bf16(y_im, ish[:], isl[:], 3)
 
 
+def _istft_frames_cart_kernel(
+    yre_ref, yim_ref, mask_ref, ich, icl, ish, isl, out_ref
+):
+    """One frame tile: 3-pass bf16 inverse windowed DFT from cartesian
+    (y_re, y_im) -> windowed output frames (no OLA; general-hop caller)."""
+    from .fused import _dot_bf16
+
+    y_re = yre_ref[:] * mask_ref[:]
+    y_im = yim_ref[:] * mask_ref[:]
+    frames = _dot_bf16(y_re, ich[:], icl[:], 3)
+    out_ref[:] = frames + _dot_bf16(y_im, ish[:], isl[:], 3)
+
+
+def istft_frames_cart(
+    y_re: jnp.ndarray,
+    y_im: jnp.ndarray,
+    n_fft: int,
+    frame_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Fused cartesian spectra -> windowed output frames (nf, n_fft).
+
+    The cart twin of istft_frames: serves the semi-fused phasor path for
+    general synthesis hops (rs does not divide n_fft, e.g. stretch 1.5 /
+    non-octave pitch), where Y = mag * P arrives as (re, im) directly from
+    the phasor-term kernels — no polar round trip, no cos/sin at all.
+    """
+    nf, n_bins = y_re.shape
+    if nf == 0:
+        return jnp.zeros((0, n_fft), y_re.dtype)
+    nbp = _pad_bins(n_bins)
+    tile = _TILE_F
+    nf_pad = -(-nf // tile) * tile
+    grid = nf_pad // tile
+
+    if frame_mask is None:
+        mask = (jnp.arange(nf_pad) < nf).astype(y_re.dtype)
+    else:
+        mask = jnp.zeros((nf_pad,), y_re.dtype).at[:nf].set(
+            frame_mask.astype(y_re.dtype)
+        )
+    pad_spec = [(0, nf_pad - nf), (0, nbp - n_bins)]
+    yre_p = jnp.pad(y_re, pad_spec)
+    yim_p = jnp.pad(y_im, pad_spec)
+    ich, icl, ish, isl = _idft_mats_split(n_fft)
+
+    frames = pl.pallas_call(
+        _istft_frames_cart_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, nbp), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+            pl.BlockSpec((nbp, n_fft), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile, n_fft), lambda i: (i, 0)),
+        out_shape=_out_struct((nf_pad, n_fft), jnp.float32, y_re, y_im),
+        interpret=_interpret(),
+    )(yre_p, yim_p, mask[:, None], jnp.asarray(ich), jnp.asarray(icl),
+      jnp.asarray(ish), jnp.asarray(isl))
+    return frames[:nf]
+
+
 def istft_frames(
     mag: jnp.ndarray,
     psi: jnp.ndarray,

@@ -46,6 +46,35 @@ from .mesh import make_mesh
 
 _EPS = 1e-8
 
+# Measurement-only A/B knob (SCALING_r04 / VERDICT r03 #3): when True, every
+# collective in the chunk bodies is replaced by a zero-communication local
+# fake (ppermute -> identity, all_gather -> local broadcast), so timing the
+# same program with the flag flipped isolates collective cost from compute.
+# OUTPUT IS WRONG with the flag set; never enable on a product path. Flip
+# via ablate_collectives(); callers must jax.clear_caches() after flipping
+# (the flag is read at trace time).
+_ABLATE_COLLECTIVES = False
+
+
+def ablate_collectives(enabled: bool) -> None:
+    global _ABLATE_COLLECTIVES
+    _ABLATE_COLLECTIVES = enabled
+
+
+def _pp(x, pairs):
+    """ppermute over 'seq', or a zero-comm identity fake under ablation."""
+    if _ABLATE_COLLECTIVES:
+        return x
+    return jax.lax.ppermute(x, "seq", pairs)
+
+
+def _ag(x, axis: str = "seq"):
+    """all_gather over `axis`, or a zero-comm local broadcast fake."""
+    if _ABLATE_COLLECTIVES:
+        d = jax.lax.axis_size(axis)
+        return jnp.broadcast_to(x[None], (d,) + x.shape)
+    return jax.lax.all_gather(x, axis)
+
 
 def _closed_form_phasors(ure, uim, d, F: int, rs: int, ra: int, n_fft: int,
                          axis: str = "seq"):
@@ -60,7 +89,7 @@ def _closed_form_phasors(ure, uim, d, F: int, rs: int, ra: int, n_fft: int,
     from ..ops.pallas.fused import _phasor_consts, _pow_k
 
     u0s = jnp.stack([ure[..., 0, :], uim[..., 0, :]], axis=-2)  # (...,2,nbp)
-    u0g = jax.lax.all_gather(u0s, axis)[0]  # device 0's anchor (...,2,nbp)
+    u0g = _ag(u0s, axis)[0]  # device 0's anchor (...,2,nbp)
     u0re = jnp.expand_dims(u0g[..., 0, :], -2)  # (..., 1, nbp)
     u0im = jnp.expand_dims(u0g[..., 1, :], -2)
     zre = ure * u0re + uim * u0im  # u * conj(u0)
@@ -111,7 +140,7 @@ def _chunked_body_fused(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: i
     right = [(i, i + 1) for i in range(D - 1)]
 
     # --- input halo (identical to the polar body)
-    halo = jax.lax.ppermute(x_sh[: n - ra], "seq", left)
+    halo = _pp(x_sh[: n - ra], left)
     halo = jnp.where(d == D - 1, x_tail, halo)
     mag, tre, tim, ure, uim, _ = stft_phasor_terms(
         jnp.concatenate([x_sh, halo]), n, ra, rs, scan=False, return_u=True
@@ -130,7 +159,7 @@ def _chunked_body_fused(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: i
         # --- boundary: previous chunk's last analysis phasor -> my first
         # term (k = 1/2 does not telescope across branch cuts).
         u_last = jnp.stack([ure[F - 1], uim[F - 1]])  # (2, nbp)
-        u_prev = jax.lax.ppermute(u_last, "seq", right)  # zeros at d=0
+        u_prev = _pp(u_last, right)  # zeros at d=0
         bre, bim = boundary_step_term(
             ure[0], uim[0], u_prev[0], u_prev[1], n, ra, rs
         )
@@ -151,9 +180,7 @@ def _chunked_body_fused(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: i
 
         # --- local scan + cross-device exclusive prefix product (carry).
         pre_l, pim_l = phasor_scan(tre, tim)
-        totals = jax.lax.all_gather(
-            jnp.stack([pre_l[-1], pim_l[-1]]), "seq"
-        )  # (D, 2, nbp)
+        totals = _ag(jnp.stack([pre_l[-1], pim_l[-1]]))  # (D, 2, nbp)
         cre_all, cim_all = phasor_prefix_exclusive(totals[:, 0], totals[:, 1])
         cre = jnp.take(cre_all, d, axis=0)
         cim = jnp.take(cim_all, d, axis=0)
@@ -172,8 +199,8 @@ def _chunked_body_fused(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: i
     )
 
     tail_len = n - rs
-    recv_y = jax.lax.ppermute(ola[F * rs :], "seq", right)
-    recv_n = jax.lax.ppermute(norm[F * rs :], "seq", right)
+    recv_y = _pp(ola[F * rs :], right)
+    recv_n = _pp(norm[F * rs :], right)
     pad = (0, F * rs - tail_len)
     main = ola[: F * rs] + jnp.pad(recv_y, pad)
     main_norm = norm[: F * rs] + jnp.pad(recv_n, pad)
@@ -196,13 +223,13 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     right = [(i, i + 1) for i in range(D - 1)]
 
     # --- input halo: receive next chunk's head (zeros at d=D-1 -> x_tail).
-    halo = jax.lax.ppermute(x_sh[: n - ra], "seq", left)
+    halo = _pp(x_sh[: n - ra], left)
     halo = jnp.where(d == D - 1, x_tail, halo)
     # Backend dispatch (xla / matmul / fused pallas) lives in the pipeline.
     mag, phi = pipeline.analyze(jnp.concatenate([x_sh, halo]), cfg)  # (F, nb)
 
     # --- phase halo: neighbor's first phi row for the boundary increment.
-    phi_next = jax.lax.ppermute(phi[0:1], "seq", left)  # zeros at d=D-1
+    phi_next = _pp(phi[0:1], left)  # zeros at d=D-1
     phi_ext = jnp.concatenate([phi, phi_next])  # (F+1, n_bins)
 
     # --- phase carry: local compensated scan + cross-device exclusive
@@ -221,9 +248,7 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
         jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]])
         for a in (incl_h, incl_l)
     )
-    totals = jax.lax.all_gather(
-        jnp.stack([incl_h[-1], incl_l[-1]]), "seq"
-    )  # (D, 2, n_bins)
+    totals = _ag(jnp.stack([incl_h[-1], incl_l[-1]]))  # (D, 2, n_bins)
     pref_h, pref_l = phase.blocked_scan(
         phase.wrap_add_c, (totals[:, 0], totals[:, 1])
     )
@@ -237,7 +262,7 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     residual = res_h + res_l
 
     # --- global phi[0] (device 0's first row) for the absolute phase.
-    phi0 = jax.lax.all_gather(phi[0], "seq")[0]  # (n_bins,)
+    phi0 = _ag(phi[0])[0]  # (n_bins,)
     psi = phase.finalize_phase(phi0, residual, rs, n, frame_offset=d * F)
     psi = phase.pin_real_bins(psi, phi, rs, n, frame_offset=d * F)
 
@@ -265,8 +290,8 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
 
     # --- OLA tail exchange: my tail adds into my right neighbor's head.
     tail_len = n - rs
-    recv_y = jax.lax.ppermute(ola[F * rs :], "seq", right)  # zeros at d=0
-    recv_n = jax.lax.ppermute(norm[F * rs :], "seq", right)
+    recv_y = _pp(ola[F * rs :], right)  # zeros at d=0
+    recv_n = _pp(norm[F * rs :], right)
     pad = (0, F * rs - tail_len)
     main = ola[: F * rs] + jnp.pad(recv_y, pad)
     main_norm = norm[: F * rs] + jnp.pad(recv_n, pad)
@@ -322,7 +347,7 @@ def _chunked_body_fused_batch(
     left = [(i, i - 1) for i in range(1, D)]
     right = [(i, i + 1) for i in range(D - 1)]
 
-    halo = jax.lax.ppermute(x_sh[:, : n - ra], "seq", left)
+    halo = _pp(x_sh[:, : n - ra], left)
     halo = jnp.where(d == D - 1, x_tail, halo)
     mag, tre, tim, ure, uim, _ = stft_phasor_terms_batch(
         jnp.concatenate([x_sh, halo], axis=-1), n, ra, rs,
@@ -334,7 +359,7 @@ def _chunked_body_fused_batch(
         pre, pim = _closed_form_phasors(ure, uim, d, F, rs, ra, n)
     else:
         u_last = jnp.stack([ure[:, F - 1], uim[:, F - 1]], axis=1)  # (B,2,nbp)
-        u_prev = jax.lax.ppermute(u_last, "seq", right)
+        u_prev = _pp(u_last, right)
         bre, bim = boundary_step_term(
             ure[:, 0], uim[:, 0], u_prev[:, 0], u_prev[:, 1], n, ra, rs
         )  # (B, nbp)
@@ -348,9 +373,7 @@ def _chunked_body_fused_batch(
         tim = jnp.where(valid, tim, 0.0)
 
         pre_l, pim_l = jax.vmap(phasor_scan)(tre, tim)
-        totals = jax.lax.all_gather(
-            jnp.stack([pre_l[:, -1], pim_l[:, -1]], axis=1), "seq"
-        )  # (D, B, 2, nbp)
+        totals = _ag(jnp.stack([pre_l[:, -1], pim_l[:, -1]], axis=1))  # (D, B, 2, nbp)
         totals = totals.transpose(1, 0, 2, 3)  # (B, D, 2, nbp)
         cre_all, cim_all = jax.vmap(phasor_prefix_exclusive)(
             totals[:, :, 0], totals[:, :, 1]
@@ -371,8 +394,8 @@ def _chunked_body_fused_batch(
     )  # (F*rs + n - rs,) — row-independent
 
     tail_len = n - rs
-    recv_y = jax.lax.ppermute(ola[:, F * rs :], "seq", right)  # (B, n-rs)
-    recv_n = jax.lax.ppermute(norm[F * rs :], "seq", right)
+    recv_y = _pp(ola[:, F * rs :], right)  # (B, n-rs)
+    recv_n = _pp(norm[F * rs :], right)
     main = ola[:, : F * rs] + jnp.pad(recv_y, ((0, 0), (0, F * rs - tail_len)))
     main_norm = norm[: F * rs] + jnp.pad(recv_n, (0, F * rs - tail_len))
     main_out = main / jnp.maximum(main_norm, _EPS)[None, :]
@@ -455,12 +478,16 @@ def chunked_time_stretch(
     stretch: float,
     cfg: PvocConfig = PvocConfig(),
     mesh: Mesh | None = None,
+    force: bool = False,
 ) -> jnp.ndarray:
     """Time-stretch ONE long recording sharded over the mesh's "seq" axis.
 
     Mathematically identical to pipeline.time_stretch (the phase prefix sum
     factorizes exactly across chunks); falls back to the single-device path
-    when the recording is too short to split usefully.
+    when the recording is too short to split usefully. force=True runs the
+    shard_map program even on a 1-device mesh — the per-chip throughput of
+    the chunked program itself, i.e. the true scaling denominator
+    (SCALING_r04 / VERDICT r03 #3a).
     """
     dtype = jnp.dtype(cfg.dtype)
     x = jnp.asarray(x, dtype=dtype)
@@ -474,7 +501,7 @@ def chunked_time_stretch(
     D = mesh.shape["seq"]
 
     F = -(-nf // D)
-    if D == 1 or F < min_frames_per_device(cfg, rs):
+    if (D == 1 and not force) or F < min_frames_per_device(cfg, rs):
         return pipeline.time_stretch(x, stretch, cfg)
 
     nf_pad = F * D

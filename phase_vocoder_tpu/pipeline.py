@@ -56,6 +56,40 @@ def fused_ok(cfg: PvocConfig, rs: int) -> bool:
     )
 
 
+def phasor_general_ok(cfg: PvocConfig, rs: int) -> bool:
+    """True when the SEMI-fused phasor path applies: rational hop ratio
+    k = p/q (q in {1, 2, 4}) but a synthesis hop the fold-OLA single kernel
+    cannot take (rs does not divide n_fft — e.g. stretch 1.5 -> Rs=384, or
+    the -5/+7 st pitch hops Rs=192/384). Analysis + phase propagation ride
+    the phasor-term Pallas kernel (no arctan2, no compensated angle scan);
+    synthesis is the cart inverse-DFT kernel + general scatter-free fold."""
+    from .ops.pallas.fused import phasor_terms_supported
+
+    return (
+        cfg.fft_backend == "pallas"
+        and not fused_ok(cfg, rs)
+        and phasor_terms_supported(cfg.n_fft, cfg.hop, rs)
+    )
+
+
+def phasor_general_stretch(x: jnp.ndarray, cfg: PvocConfig, rs: int) -> jnp.ndarray:
+    """Semi-fused TSM for general synthesis hops (see phasor_general_ok)."""
+    from .ops.pallas import istft_frames_cart
+    from .ops.pallas.fused import stft_phasor_terms
+
+    n, ra = cfg.n_fft, cfg.hop
+    with jax.named_scope("pvoc_phasor_general"):
+        mag, pre, pim, nf = stft_phasor_terms(x, n, ra, rs, scan=True)
+        n_bins = cfg.n_bins
+        y_re = (mag * pre)[:nf, :n_bins]
+        y_im = (mag * pim)[:nf, :n_bins]
+        y_frames = istft_frames_cart(y_re, y_im, n)
+        out = framing.overlap_add(y_frames, rs, method="fold")
+        w = hann_window(n, dtype=mag.dtype)
+        norm = framing.ola_window_norm(w, nf, rs, method="fold")
+        return out / norm
+
+
 def pallas_analysis_ok(cfg: PvocConfig) -> bool:
     return cfg.fft_backend == "pallas" and cfg.n_fft % cfg.hop == 0
 
@@ -182,6 +216,8 @@ def _time_stretch_jit(x: jnp.ndarray, cfg: PvocConfig, rs: int) -> jnp.ndarray:
         from .ops.pallas.fused import fused_time_stretch
 
         return fused_time_stretch(x, cfg.n_fft, cfg.hop, rs)
+    if phasor_general_ok(cfg, rs):
+        return phasor_general_stretch(x, cfg, rs)
     mag, phi = analyze(x, cfg)
     mag, psi = stretch_polar(mag, phi, cfg, rs)
     return synthesize_polar(mag, psi, cfg, rs)
@@ -207,9 +243,14 @@ def time_stretch(
     nf = framing.num_frames(x.shape[-1], cfg.n_fft, cfg.hop)
     if nf <= 0:
         return jnp.zeros((0,), dtype=dtype)
-    # The fused phasor path's compile cost is length-independent (Pallas
-    # kernels + blocked scan), so it never needs the streaming reroute.
-    if nf > max_monolithic_frames and not fused_ok(cfg, rs):
+    # The fused/semi-fused phasor paths' compile cost is length-independent
+    # (Pallas kernels + flat fold OLA), so they never need the streaming
+    # reroute.
+    if (
+        nf > max_monolithic_frames
+        and not fused_ok(cfg, rs)
+        and not phasor_general_ok(cfg, rs)
+    ):
         from . import streaming
 
         return streaming.stream_time_stretch(x, stretch, cfg)
@@ -225,11 +266,16 @@ def _pitch_shift_jit(x, cfg: PvocConfig, rs: int, factor: float, out_len: int):
         from .ops.pallas.fused import fused_time_stretch
 
         y = fused_time_stretch(x, cfg.n_fft, cfg.hop, rs)
+    elif phasor_general_ok(cfg, rs):
+        # Rational k with rs ∤ n_fft (e.g. -5 st -> Rs=192, k=3/4; +7 st
+        # -> Rs=384, k=3/2): the semi-fused phasor path — phasor-term
+        # analysis kernel + cart inverse-DFT kernel + general fold OLA.
+        y = phasor_general_stretch(x, cfg, rs)
     else:
-        # Non-octave semitones quantize to rs with rs ∤ n_fft (e.g. -5 st
-        # -> rs=342 at Ra=256): the fold OLA layout no longer applies, so
-        # the polar path with general scatter OLA runs instead (measured
-        # and documented in README / bench --pitch).
+        # Irreducible hop ratios (e.g. -7 st -> rs=171, +5 st -> rs=342 at
+        # Ra=256, both with q > 4): the polar path with the general
+        # scatter-free fold OLA runs instead (measured and documented in
+        # README / bench --pitch).
         mag, phi = analyze(x, cfg)
         mag, psi = stretch_polar(mag, phi, cfg, rs)
         y = synthesize_polar(mag, psi, cfg, rs)

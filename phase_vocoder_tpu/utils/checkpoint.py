@@ -28,7 +28,14 @@ def _state_to_tree(state: streaming.StreamState) -> dict:
 
 
 def _tree_to_state(tree: dict) -> streaming.StreamState:
-    return streaming.StreamState(**{k: jnp.asarray(v) for k, v in tree.items()})
+    tree = {k: jnp.asarray(v) for k, v in tree.items()}
+    # Migration: checkpoints written before the compensated-pair carry
+    # landed lack psi_carry_lo. The pair degrades gracefully (lo = 0 is a
+    # valid, merely uncompensated, state), so default it instead of failing
+    # the restore of a killed long-running job (ADVICE.md round 3).
+    if "psi_carry_lo" not in tree and "psi_carry" in tree:
+        tree["psi_carry_lo"] = jnp.zeros_like(tree["psi_carry"])
+    return streaming.StreamState(**tree)
 
 
 class StreamCheckpointer:
@@ -90,7 +97,8 @@ class StreamCheckpointer:
                     continue
         return sorted(done)
 
-    def latest(self) -> tuple[int, streaming.StreamState] | None:
+    def latest_tree(self) -> tuple[int, dict] | None:
+        """(batch, raw state tree) of the newest checkpoint, or None."""
         done = self.completed_batches()
         if not done:
             return None
@@ -98,6 +106,13 @@ class StreamCheckpointer:
         tree = self._orbax().restore(
             os.path.join(self.directory, f"state_{batch:06d}")
         )
+        return batch, tree
+
+    def latest(self) -> tuple[int, streaming.StreamState] | None:
+        found = self.latest_tree()
+        if found is None:
+            return None
+        batch, tree = found
         return batch, _tree_to_state(tree)
 
     def load_parts(self, up_to_batch: int) -> list[np.ndarray]:
@@ -169,3 +184,93 @@ def checkpointed_stream_time_stretch(
         [jnp.asarray(p) for p in parts] + [streaming.flush_tail(state)]
     )
     return out[: framing.output_length(nf, cfg.n_fft, rs)]
+
+
+# ---------------------------------------------------------------------------
+# Fused-kernel streaming checkpoints (the phasor-carry state of
+# streaming.FusedStreamState instead of the polar compensated-pair state).
+# ---------------------------------------------------------------------------
+
+def _fused_state_to_tree(state: streaming.FusedStreamState) -> dict:
+    return {f.name: getattr(state, f.name) for f in dataclasses.fields(state)}
+
+
+def _tree_to_fused_state(tree: dict) -> streaming.FusedStreamState:
+    return streaming.FusedStreamState(
+        **{k: jnp.asarray(v) for k, v in tree.items()}
+    )
+
+
+def checkpointed_fused_stream_time_stretch(
+    x,
+    stretch: float,
+    cfg: PvocConfig = PvocConfig(),
+    checkpoint_dir: str = "pvoc_ckpt",
+    segment_frames: int = streaming.DEFAULT_FUSED_SEGMENT_FRAMES,
+    batch_segments: int = 8,
+    _fail_after_batches: int | None = None,
+) -> jnp.ndarray:
+    """fused_stream_time_stretch with segment-batch checkpointing.
+
+    Same contract as checkpointed_stream_time_stretch, riding the fused
+    phasor kernel (bitwise identical to the monolithic fused path): resume
+    after a crash returns the identical waveform.
+    """
+    from .. import pipeline
+    from ..ops.pallas.fused import _ola_norm_tables, _pick_tile
+
+    dtype = jnp.dtype(cfg.dtype)
+    x = jnp.asarray(x, dtype=dtype)
+    rs = cfg.synthesis_hop(stretch)
+    if not pipeline.fused_ok(cfg, rs):
+        raise ValueError("checkpointed fused stream requires fused-kernel geometry")
+    n, ra = cfg.n_fft, cfg.hop
+    m = n // rs
+    nf = framing.num_frames(x.shape[-1], n, ra)
+    if nf <= 0:
+        return jnp.zeros((0,), dtype=dtype)
+    tile = _pick_tile(n, rs, nf)
+    F, S = streaming.fused_plan_segments(nf, n, rs, segment_frames, tile)
+    rows_all = streaming.fused_stream_rows(x, n, ra, F, S, tile)
+
+    ck = StreamCheckpointer(checkpoint_dir)
+    meta = {"nf": nf, "F": F, "S": S, "rs": rs, "stretch": stretch,
+            "n_fft": n, "hop": ra, "batch_segments": batch_segments,
+            "kind": "fused"}
+    existing = ck.read_manifest()
+    if existing is not None and existing != meta:
+        raise ValueError(
+            f"checkpoint dir {checkpoint_dir!r} holds a different run: "
+            f"{existing} != {meta}"
+        )
+    ck.write_manifest(meta)
+
+    found = ck.latest_tree()
+    if found is None:
+        next_batch = 0
+        state = streaming.fused_init_state(n, rs)
+    else:
+        last_done, tree = found
+        state = _tree_to_fused_state(tree)
+        next_batch = last_done + 1
+
+    n_batches = -(-S // batch_segments)
+    done = 0
+    for batch in range(next_batch, n_batches):
+        s0 = batch * batch_segments
+        count = min(batch_segments, S - s0)
+        out, state = streaming._fused_scan_from(
+            rows_all, state, nf, n, ra, rs, F, count
+        )
+        ck.save_batch(batch, np.asarray(out), state)
+        done += 1
+        if _fail_after_batches is not None and done >= _fail_after_batches:
+            raise RuntimeError(f"injected failure after {done} batches")
+
+    parts = ck.load_parts(n_batches - 1)
+    main = jnp.concatenate([jnp.asarray(p) for p in parts]).reshape(S * F, rs)
+    m_full, tail_inv = _ola_norm_tables(n, rs)
+    fix = jnp.asarray(tail_inv / m_full[m - 1 : m])
+    tail = main[nf : nf + m - 1] * fix
+    out = jnp.concatenate([main[:nf].reshape(-1), tail.reshape(-1)])
+    return out[: framing.output_length(nf, n, rs)]

@@ -113,7 +113,8 @@ def fft_flop_roofline_audio_s(
 
     ~5*N*log2(N) real FLOPs per rfft/irfft (the textbook split-radix
     count), two transforms per frame. Under this count the pipeline would
-    be HBM-bound again (~2.4M audio-s/s >> the 1.16M HBM bound), so the
+    be HBM-bound again (~30.8M audio-s/s = 197e12 / (2*5*1024*10 * 62.5),
+    far above the 1.16M HBM bound), so the
     true hardware speed-of-light for ANY DFT algorithm is min(FFT, HBM) =
     HBM. Reported alongside the matmul-DFT MXU bound so vs_baseline is not
     inflated by the choice of DFT algorithm (ADVICE.md round 2)."""

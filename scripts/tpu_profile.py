@@ -99,7 +99,8 @@ def main(argv=None) -> int:
 
     stages = {}
     for ab in ("fwd1", "inv1", "rev", "scan", "terms", "scan+terms",
-               "fwd1+inv1+rev"):
+               "fwd1+inv1+rev", "frame", "mag", "ola", "norm",
+               "frame+ola+norm+mag"):
         dt = timed(ablate=ab)
         stages[ab] = {
             "wall_s": round(dt, 5),

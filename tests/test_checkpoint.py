@@ -71,3 +71,53 @@ def test_mismatched_run_rejected(tmp_path, x8s):
             x8s, 0.5, CFG, checkpoint_dir=ckdir, segment_frames=64,
             batch_segments=3,
         )
+
+
+# ---------------------------------------------------------------------------
+# Fused-kernel streaming checkpoints (FusedStreamState)
+# ---------------------------------------------------------------------------
+
+def test_fused_checkpoint_resume_bitwise(tmp_path, x8s):
+    """Injected failure mid-run, resume completes; result is bit-identical
+    to the uninterrupted fused streaming run (and hence to the monolithic
+    fused kernel)."""
+    from phase_vocoder_tpu.streaming import fused_stream_time_stretch
+    from phase_vocoder_tpu.utils.checkpoint import (
+        checkpointed_fused_stream_time_stretch,
+    )
+
+    cfg = PvocConfig(fft_backend="pallas")
+    ckdir = str(tmp_path / "ck_fused")
+    ref = np.asarray(
+        fused_stream_time_stretch(x8s, 2.0, cfg, segment_frames=256)
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        checkpointed_fused_stream_time_stretch(
+            x8s, 2.0, cfg, checkpoint_dir=ckdir, segment_frames=256,
+            batch_segments=1, _fail_after_batches=1,
+        )
+    out = np.asarray(checkpointed_fused_stream_time_stretch(
+        x8s, 2.0, cfg, checkpoint_dir=ckdir, segment_frames=256,
+        batch_segments=1,
+    ))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_legacy_checkpoint_missing_pair_lo_restores(tmp_path, x8s):
+    """A pre-pair-carry checkpoint (no psi_carry_lo) restores with lo=0
+    instead of failing (ADVICE.md round 3)."""
+    from phase_vocoder_tpu.utils.checkpoint import _tree_to_state
+
+    import jax.numpy as jnp
+
+    tree = {
+        "phi_prev": np.zeros(513, np.float32),
+        "psi_carry": np.ones(513, np.float32),
+        "phi0": np.zeros(513, np.float32),
+        "ola_tail": np.zeros(1024 - 512, np.float32),
+        "norm_tail": np.zeros(1024 - 512, np.float32),
+        "started": np.ones((), bool),
+        "frame_offset": np.zeros((), np.int32),
+    }
+    state = _tree_to_state(tree)
+    assert np.array_equal(np.asarray(state.psi_carry_lo), np.zeros(513))

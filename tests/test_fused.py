@@ -43,8 +43,20 @@ def test_phasor_supported_matrix():
     assert phasor_supported(512, 64, 256)  # k=4
     assert not phasor_supported(1024, 256, 333)  # rs does not divide N
     assert not phasor_supported(1024, 256, 1024)  # no overlap
-    assert not phasor_supported(1024, 256, 384)  # k=3/2 unsupported
+    assert not phasor_supported(1024, 256, 384)  # rs does not divide N (k=3/2)
     assert not phasor_supported(1024, 192, 256)  # Ra does not divide N
+
+
+def test_phasor_terms_supported_matrix():
+    from phase_vocoder_tpu.ops.pallas.fused import phasor_terms_supported
+
+    assert phasor_terms_supported(1024, 256, 384)  # k=3/2 (stretch 1.5)
+    assert phasor_terms_supported(1024, 256, 192)  # k=3/4 (-5 st)
+    assert phasor_terms_supported(1024, 256, 512)  # k=2
+    assert phasor_terms_supported(1024, 256, 64)  # k=1/4
+    assert not phasor_terms_supported(1024, 256, 342)  # k=171/128
+    assert not phasor_terms_supported(1024, 256, 171)  # q=256
+    assert not phasor_terms_supported(1024, 192, 256)  # Ra does not divide N
 
 
 @pytest.mark.parametrize("stretch", [0.5, 1.0, 2.0])
@@ -144,3 +156,62 @@ def test_fused_unit_modulus():
     mag, pre, pim, nf = stft_phasor_terms(x, N, RA, 512, scan=True)
     mod = np.hypot(np.asarray(pre), np.asarray(pim))[:nf, : N // 2 + 1]
     assert np.max(np.abs(mod - 1.0)) < 1e-5
+
+
+def test_pow_k_rational_matches_angles():
+    """_pow_k for k = p/q (q in {1,2,4}) equals e^{i k princarg(theta)}."""
+    import jax.numpy as jnp
+
+    from phase_vocoder_tpu.ops.pallas.fused import _pow_k
+
+    rng = np.random.default_rng(3)
+    theta = rng.uniform(-np.pi + 1e-6, np.pi, 4096)
+    z_re = jnp.asarray(np.cos(theta), jnp.float32)
+    z_im = jnp.asarray(np.sin(theta), jnp.float32)
+    for rs, ra in [(512, 256), (128, 256), (384, 256), (192, 256), (64, 256),
+                   (320, 256), (768, 256)]:
+        k = rs / ra
+        wre, wim = _pow_k(z_re, z_im, rs, ra)
+        want = np.exp(1j * k * theta)
+        got = np.asarray(wre, np.float64) + 1j * np.asarray(wim, np.float64)
+        err = np.max(np.abs(got - want))
+        assert err < 2e-6, (rs, ra, err)
+
+
+@pytest.mark.parametrize("stretch", [1.5, 0.75, 0.25])
+def test_phasor_general_stretch_vs_golden(stretch):
+    """Semi-fused path (rational k, rs does not divide N) vs the golden
+    model — stretch 1.5 is VERDICT r03 #7's requested coverage point."""
+    from phase_vocoder_tpu import pipeline
+
+    x = make_test_signal(4.0)
+    cfg = PvocConfig(fft_backend="pallas")
+    rs = cfg.synthesis_hop(stretch)
+    if stretch != 0.25:
+        assert not pipeline.fused_ok(cfg, rs)
+        assert pipeline.phasor_general_ok(cfg, rs)
+    ref = pv_ref.phase_vocoder(np.asarray(x, np.float64), stretch, N, RA)
+    y = np.asarray(time_stretch(x.astype(np.float32), stretch, cfg))
+    assert len(y) == len(ref)
+    assert rel_err(y, ref) < 1e-4
+
+
+@pytest.mark.parametrize("semitones", [-5.0, 7.0])
+def test_pitch_rational_k_rides_phasor_path(semitones):
+    """-5/+7 st quantize to Rs=192/384 (k=3/4, 3/2): the semi-fused phasor
+    route replaces the polar path and must hold the golden gate."""
+    from phase_vocoder_tpu import pipeline
+
+    x = make_test_signal(4.0)
+    cfg = PvocConfig(fft_backend="pallas")
+    factor = 2.0 ** (semitones / 12.0)
+    rs = cfg.synthesis_hop(factor)
+    assert pipeline.phasor_general_ok(cfg, rs)
+    ref = pv_ref.pitch_shift(np.asarray(x, np.float64), semitones, N, RA)
+    y = np.asarray(pipeline.pitch_shift(x.astype(np.float32), semitones, cfg))
+    m = min(len(ref), len(y))
+    sl = slice(N, m - N)
+    err = np.max(np.abs(np.asarray(y, np.float64)[sl] - ref[sl])) / np.max(
+        np.abs(ref[sl])
+    )
+    assert err < 1e-4, err

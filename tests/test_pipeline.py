@@ -260,3 +260,16 @@ def test_deterministic_rerun(signal_1s):
     a = np.asarray(time_stretch(signal_1s, 2.0))
     b = np.asarray(time_stretch(signal_1s, 2.0))
     assert np.array_equal(a, b)
+
+
+def test_resample_rational_matmul_matches_slices(rng):
+    """The MXU matmul formulation of the rational resampler == the strided-
+    slice oracle (exact for dyadic weights; <=2 ulp for q=3)."""
+    from phase_vocoder_tpu.ops import resample as rs
+
+    x = jnp.asarray(rng.standard_normal(50_000).astype(np.float32))
+    for p, q in [(2, 1), (1, 2), (1, 1), (3, 2), (3, 4), (1, 4), (8, 1), (4, 3)]:
+        out_len = int(round(len(x) * q / p))
+        a = np.asarray(rs._resample_rational(x, p, q, out_len))
+        b = np.asarray(rs._resample_rational_slices(x, p, q, out_len))
+        assert np.max(np.abs(a - b)) < 1e-6, (p, q)
