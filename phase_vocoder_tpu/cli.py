@@ -79,15 +79,36 @@ def _run_stretch(args) -> int:
     t0 = time.perf_counter()
     with profiling.trace(args.trace_dir):
         if args.checkpoint_dir:
-            from .streaming import DEFAULT_SEGMENT_FRAMES
-            from .utils.checkpoint import checkpointed_stream_time_stretch
+            from . import pipeline as _pl
+            from .streaming import (
+                DEFAULT_FUSED_SEGMENT_FRAMES,
+                DEFAULT_SEGMENT_FRAMES,
+            )
+            from .utils.checkpoint import (
+                checkpointed_fused_stream_time_stretch,
+                checkpointed_stream_time_stretch,
+            )
 
-            y = np.asarray(checkpointed_stream_time_stretch(
-                x, args.ratio, _cfg(args),
-                checkpoint_dir=args.checkpoint_dir,
-                segment_frames=args.segment_frames or DEFAULT_SEGMENT_FRAMES,
-                batch_segments=args.batch_segments,
-            ))
+            cfg = _cfg(args)
+            rs = cfg.synthesis_hop(args.ratio)
+            if _pl.fused_ok(cfg, rs):
+                # Hour-long jobs ride the fused phasor kernel (bitwise-
+                # identical to the monolithic path) with orbax checkpoints.
+                y = np.asarray(checkpointed_fused_stream_time_stretch(
+                    x, args.ratio, cfg,
+                    checkpoint_dir=args.checkpoint_dir,
+                    segment_frames=args.segment_frames
+                    or DEFAULT_FUSED_SEGMENT_FRAMES,
+                    batch_segments=args.batch_segments,
+                ))
+            else:
+                y = np.asarray(checkpointed_stream_time_stretch(
+                    x, args.ratio, cfg,
+                    checkpoint_dir=args.checkpoint_dir,
+                    segment_frames=args.segment_frames
+                    or DEFAULT_SEGMENT_FRAMES,
+                    batch_segments=args.batch_segments,
+                ))
         elif args.segment_frames:
             from .streaming import stream_time_stretch
 

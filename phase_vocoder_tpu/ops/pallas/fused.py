@@ -1098,7 +1098,7 @@ def _pvoc_tile(
     i, rows_a, rows_b, mats, consts, carry_ref, tail_ref, fmask,
     *, overlap: int, rs: int, ra: int, m: int, tile: int,
     fwd_passes: int, inv_passes: int, fold: bool, ablate: str = "",
-    inv_rev_passes: int = 3, started=None, goff=None,
+    inv_rev_passes: int = 3, started=None, goff=None, zrows=None,
 ):
     """The whole phase vocoder in ONE kernel pass per frame tile.
 
@@ -1160,13 +1160,37 @@ def _pvoc_tile(
     if fold:
         # Even/odd fold (see _fold_consts): half-length matmuls at HIGHEST
         # (default; fwd_passes>0 is a profiler A/B knob — the bf16 splits
-        # measured over the gate, see _FOLD_FWD_PASSES note), plus one
-        # exact permutation for the reversed view and a VPU lane reduction
-        # for the packed Nyquist.
+        # measured over the gate, see _FOLD_FWD_PASSES note), plus the
+        # reversed view and a VPU lane reduction for the packed Nyquist.
         n_fft = overlap * ra
         L = n_fft // 2
         head = frames[:, :L]
-        r = rev_fwd(frames[:, L:], rev)
+        if zrows is not None and "rev" not in skip:
+            # r04: the reversed view r[t] = frame[N-t] built from a
+            # PRE-REVERSED rows view of the signal (zrows: zr_rows[v, t] =
+            # x_pad[(v+1)*hop - t], one fused XLA reverse pass) instead of
+            # the 3-pass exact permutation matmul — pure data movement,
+            # exact, and off the MXU. Frame j's reversed window is rows
+            # j+overlap-1-c of zr (lane block c), so the same two-tile
+            # roll machinery applies; only lane 0 (r[0] = frame[L] =
+            # frames[:, L]) needs a patch.
+            blockz = jnp.concatenate([zrows[0], zrows[1]], axis=0)
+            nb2z = 2 * tile
+            partsz = []
+            for c in range(overlap // 2):
+                sft = overlap - 1 - c
+                partsz.append(
+                    (pltpu.roll(blockz, nb2z - sft, 0) if sft else blockz)[
+                        :tile
+                    ]
+                )
+            w_t = jnp.concatenate(partsz, axis=-1)  # (tile, L)
+            lane0v = jax.lax.broadcasted_iota(jnp.int32, w_t.shape, 1) == 0
+            r = jnp.where(lane0v, frames[:, L : L + 1], w_t)
+        elif "rev" in skip and zrows is not None:
+            r = frames[:, L:]
+        else:
+            r = rev_fwd(frames[:, L:], rev)
         wE = frows[0:1, :]
         wh = wE * head
         E = wh + frows[1:2, :] * r
@@ -1335,21 +1359,30 @@ def _pvoc_tile(
     else:
         frames_o = ep + qp
 
-    # --- fold OLA with tail carry + in-kernel normalization
-    zrow = jnp.zeros((1, rs), jnp.float32)
+    # --- fold OLA with tail carry: roll+mask accumulation (r04 — replaces
+    # the concat-built (tile+m-1)-row buffers, the largest non-matmul cost
+    # in PROFILE_r04 ablations). Segment s of frame j lands in output row
+    # j+s: a sublane roll by s aligns it; rows < s of the rolled block are
+    # the WRAPPED rows (frames tile-s+j) — exactly the spill into the next
+    # tile, accumulated into tail_ref. Returns main (tile, rs); when the
+    # interior COLA normalization is folded into the unfold rows
+    # (_pvoc_mats normed=True) this is the normalized signal directly.
     if "ola" in skip:
-        return jnp.concatenate([frames_o[:, :rs]] + [zrow] * (m - 1), axis=0)
-    buf = jnp.concatenate([frames_o[:, :rs]] + [zrow] * (m - 1), axis=0)
+        return frames_o[:, :rs]
+    row_r = jax.lax.broadcasted_iota(jnp.int32, (tile, rs), 0)
+    main = frames_o[:, :rs]
+    wrap = None
     for s in range(1, m):
-        shifted = jnp.concatenate(
-            [zrow] * s + [frames_o[:, s * rs : (s + 1) * rs]] + [zrow] * (m - 1 - s),
-            axis=0,
-        )
-        buf = buf + shifted
-    head = buf[: m - 1] + tail_ref[:]
-    buf = jnp.concatenate([head, buf[m - 1 :]], axis=0)
-    tail_ref[:] = buf[tile:]
-    return buf
+        p = pltpu.roll(frames_o[:, s * rs : (s + 1) * rs], s, 0)
+        main = main + jnp.where(row_r >= s, p, 0.0)
+        w_s = jnp.where(row_r < s, p, 0.0)
+        wrap = w_s if wrap is None else wrap + w_s
+    tail_pad = jnp.concatenate(
+        [tail_ref[:], jnp.zeros((tile - (m - 1), rs), jnp.float32)], axis=0
+    )
+    main = main + tail_pad
+    tail_ref[:] = wrap[: m - 1]
+    return main
 
 
 def _pvoc_kernel(
@@ -1358,9 +1391,13 @@ def _pvoc_kernel(
     out_ref, carry_ref, tail_ref,
     *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int,
     fwd_passes: int, inv_passes: int, fold: bool, ablate: str = "",
-    inv_rev_passes: int = 3,
+    inv_rev_passes: int = 3, normed: bool = False,
 ):
-    """Single-recording wrapper: 1-D grid over frame tiles (see _pvoc_tile)."""
+    """Single-recording wrapper: 1-D grid over frame tiles (see _pvoc_tile).
+
+    normed: interior normalization folded into the matrices (_pvoc_mats);
+    `norm` is then the tiny head-row correction table (rows >= m-1 are 1).
+    """
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -1381,9 +1418,50 @@ def _pvoc_kernel(
         ablate=ablate, inv_rev_passes=inv_rev_passes,
     )
     if "norm" in (set(ablate.split("+")) if ablate else set()):
-        out_ref[:] = buf[:tile]
+        out_ref[:] = buf
         return
-    out_ref[:] = buf[:tile] * norm[m - 1 : m, :]
+    out_ref[:] = buf if normed else buf * norm[m - 1 : m, :]
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(m - 1):
+            out_ref[j, :] = buf[j, :] * norm[j, :]
+
+
+def _pvoc_kernel_z(
+    rows_a, rows_b, rows_za, rows_zb, fch, fcl, fsh, fsl, ich, icl, ish, isl,
+    rev, frows, hre, him, cre, cim, norm,
+    out_ref, carry_ref, tail_ref,
+    *, overlap: int, rs: int, ra: int, m: int, nf: int, tile: int,
+    fwd_passes: int, inv_passes: int, fold: bool, ablate: str = "",
+    inv_rev_passes: int = 3, normed: bool = False,
+):
+    """_pvoc_kernel with the pre-reversed rows view (zrows) replacing the
+    forward-side 3-pass reversal matmul (see _pvoc_tile)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        tail_ref[:] = jnp.zeros_like(tail_ref)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    fmask = (i * tile + col < nf).astype(jnp.float32)
+    mats = (
+        fch[:], fcl[:], fsh[:], fsl[:],
+        ich[:], icl[:], ish[:], isl[:], rev[:], frows[:],
+    )
+    consts = (hre[:], him[:], cre[:], cim[:])
+    buf = _pvoc_tile(
+        i, rows_a[:], rows_b[:], mats, consts, carry_ref, tail_ref, fmask,
+        overlap=overlap, rs=rs, ra=ra, m=m, tile=tile,
+        fwd_passes=fwd_passes, inv_passes=inv_passes, fold=fold,
+        ablate=ablate, inv_rev_passes=inv_rev_passes,
+        zrows=(rows_za[:], rows_zb[:]),
+    )
+    if "norm" in (set(ablate.split("+")) if ablate else set()):
+        out_ref[:] = buf
+        return
+    out_ref[:] = buf if normed else buf * norm[m - 1 : m, :]
 
     @pl.when(i == 0)
     def _():
@@ -1397,6 +1475,7 @@ def _pvoc_kernel_batched(
     out_ref, carry_ref, tail_ref,
     *, overlap: int, rs: int, ra: int, m: int, tile: int,
     fwd_passes: int, inv_passes: int, fold: bool, inv_rev_passes: int = 3,
+    normed: bool = False,
 ):
     """Batched wrapper: 2-D (batch, frame-tile) grid, one kernel program.
 
@@ -1428,7 +1507,7 @@ def _pvoc_kernel_batched(
         fwd_passes=fwd_passes, inv_passes=inv_passes, fold=fold,
         inv_rev_passes=inv_rev_passes,
     )
-    out_ref[0] = buf[:tile] * norm[m - 1 : m, :]
+    out_ref[0] = buf if normed else buf * norm[m - 1 : m, :]
 
     @pl.when(i == 0)
     def _():
@@ -1454,8 +1533,9 @@ _INV_PASSES = 3
 _INV_REV_PASSES = 2
 
 
-def _pvoc_mats(n_fft: int, fast: bool, fwd_passes: int | None = None):
-    """(mats 10-tuple, fwd_passes, inv_passes, fold) for the pvoc kernels.
+def _pvoc_mats(n_fft: int, fast: bool, fwd_passes: int | None = None,
+               norm_rs: int | None = None):
+    """(mats 10-tuple, fwd_passes, inv_passes, fold, normed).
 
     mats layout (shared by _pvoc_kernel and _pvoc_kernel_batched):
     (fch, fcl, fsh, fsl, ich, icl, ish, isl, rev, frows) — forward/inverse
@@ -1465,6 +1545,18 @@ def _pvoc_mats(n_fft: int, fast: bool, fwd_passes: int | None = None):
     fwd_passes: override for the forward-DFT bf16 pass count (None = the
     path default: _FOLD_FWD_PASSES on the fold path, HIGHEST elsewhere;
     0 = force HIGHEST — the accuracy escape hatch and A/B knob).
+
+    norm_rs: when given (and the fold path applies), the INTERIOR COLA
+    normalization 1/sum_s w^2[t + s*rs] is folded into the unfold window
+    rows (frows 6/7 — the per-output-column synthesis-window multiply), so
+    the output normalization multiply disappears from the kernel entirely
+    (r04: the 'norm' ablation measured it at ~2% of kernel time). The
+    normalization distributes over the OLA sum because it depends only on
+    the output lane t mod rs. Head rows (first m-1 of the recording) then
+    need only a tiny CORRECTION table (partial/full energy ratio) at tile
+    0, and the external tail fix is unchanged (spill rows come out
+    interior-normalized exactly as before). normed=True in the return
+    signals the wrappers to use the correction table.
     """
     import ml_dtypes
 
@@ -1479,9 +1571,23 @@ def _pvoc_mats(n_fft: int, fast: bool, fwd_passes: int | None = None):
     # halves the MXU volume of both DFT stages. Gated on fast so
     # fast=False remains the non-fold full-precision path.
     fold = fast and nbq == n_fft // 2
+    normed = fold and norm_rs is not None and n_fft % norm_rs == 0
     if fold:
         fwd_passes = _FOLD_FWD_PASSES if fwd_passes is None else fwd_passes
         mc, ms, ic2, is2, rows8, rmat = _fold_consts(n_fft)
+        if normed:
+            # Interior COLA norm as a per-output-column factor, folded into
+            # the synthesis-window rows (w_lo row 6, w_hi row 7) and the
+            # lane-0 correction rows of the unfold (rows 4/5 feed e2/y_mid,
+            # which are PRE-window — only 6/7 touch the final columns).
+            interior = _ola_norm_tables(n_fft, norm_rs)[0][
+                n_fft // norm_rs - 1
+            ]  # (rs,) = 1/full window energy per output lane
+            n_ext = np.tile(interior, n_fft // norm_rs)  # (n_fft,)
+            L = n_fft // 2
+            rows8 = rows8.copy()
+            rows8[6] = rows8[6] * n_ext[:L]
+            rows8[7] = rows8[7] * n_ext[L:]
         if inv_passes:
             ich, icl, ish, isl = _fold_inv_split(n_fft)
             inv_mats = (ich, icl, ish, isl)
@@ -1503,7 +1609,7 @@ def _pvoc_mats(n_fft: int, fast: bool, fwd_passes: int | None = None):
             + ((ich, icl, ish, isl) if inv_passes else (icq, z, isq, z))
             + (zb, z)
         )
-    return mats, fwd_passes, inv_passes, fold
+    return mats, fwd_passes, inv_passes, fold, normed
 
 
 def fused_time_stretch(
@@ -1516,8 +1622,14 @@ def fused_time_stretch(
     ablate: str = "",
     fwd_passes: int | None = None,
     inv_rev_passes: int | None = None,
+    zrev: bool = False,
 ) -> jnp.ndarray:
     """Full fused TSM: ONE Pallas kernel, raw samples in, waveform out.
+
+    zrev=True replaces the forward fold reversal (3 exact bf16 permutation
+    passes on the MXU) with a pre-reversed rows view built by one fused
+    XLA reverse pass + in-kernel sublane rolls — exact data movement
+    (measured A/B in PROFILE_r04).
 
     fast=True (default) runs the forward DFT at Precision.HIGHEST (bf16
     splits measured over the gate — see _FOLD_FWD_PASSES), the inverse
@@ -1560,27 +1672,55 @@ def fused_time_stretch(
         x_pad = jnp.pad(x, (0, span - x.shape[-1]))
     rows = x_pad.reshape(n_rows, hop)
 
-    mats, fwd_passes, inv_passes, fold = _pvoc_mats(n_fft, fast, fwd_passes)
+    mats, fwd_passes, inv_passes, fold, normed = _pvoc_mats(
+        n_fft, fast, fwd_passes, norm_rs=rs
+    )
     irp = _INV_REV_PASSES if inv_rev_passes is None else inv_rev_passes
     consts = tuple(
         jnp.asarray(c) for c in _phasor_consts_packed(n_fft, hop, rs)
     )
     head_tbl, tail_inv = _ola_norm_tables(n_fft, rs)
+    if normed:  # head-row correction only (partial/full energy ratio)
+        head_tbl = head_tbl / head_tbl[m - 1 : m]
 
     mat_specs = [
         pl.BlockSpec(m_.shape, lambda i: (0, 0)) for m_ in mats
     ]
-    main = pl.pallas_call(
-        functools.partial(
-            _pvoc_kernel, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf,
+    use_z = zrev and fold and overlap % 2 == 0 and not ablate
+    if use_z:
+        # Pre-reversed rows view: zr[v, t] = x_pad[(v+1)*hop - t] — one
+        # fused XLA reverse pass; the kernel builds the fold's reversed
+        # operand from it with sublane rolls instead of the 3-pass exact
+        # permutation matmul (see _pvoc_tile).
+        xz = jnp.pad(x_pad, (0, 1))[1 : span + 1]
+        zr = xz.reshape(n_rows, hop)[:, ::-1]
+        kern = functools.partial(
+            _pvoc_kernel_z, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf,
             tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
-            fold=fold, ablate=ablate, inv_rev_passes=irp,
-        ),
-        grid=(grid,),
-        in_specs=[
+            fold=fold, ablate=ablate, inv_rev_passes=irp, normed=normed,
+        )
+        row_specs = [
+            pl.BlockSpec((tile, hop), lambda i: (i, 0)),
+            pl.BlockSpec((tile, hop), lambda i: (i + 1, 0)),
             pl.BlockSpec((tile, hop), lambda i: (i, 0)),
             pl.BlockSpec((tile, hop), lambda i: (i + 1, 0)),
         ]
+        row_ops = (rows, rows, zr, zr)
+    else:
+        kern = functools.partial(
+            _pvoc_kernel, overlap=overlap, rs=rs, ra=hop, m=m, nf=nf,
+            tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
+            fold=fold, ablate=ablate, inv_rev_passes=irp, normed=normed,
+        )
+        row_specs = [
+            pl.BlockSpec((tile, hop), lambda i: (i, 0)),
+            pl.BlockSpec((tile, hop), lambda i: (i + 1, 0)),
+        ]
+        row_ops = (rows, rows)
+    main = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=row_specs
         + mat_specs
         + [pl.BlockSpec((1, nbq), lambda i: (0, 0))] * 4
         + [pl.BlockSpec(head_tbl.shape, lambda i: (0, 0))],
@@ -1591,7 +1731,7 @@ def fused_time_stretch(
             pltpu.VMEM((m - 1, rs), jnp.float32),
         ],
         interpret=_interpret(),
-    )(rows, rows, *(jnp.asarray(m_) for m_ in mats), *consts,
+    )(*row_ops, *(jnp.asarray(m_) for m_ in mats), *consts,
       jnp.asarray(head_tbl))
 
     out_len = (nf - 1) * rs + n_fft
@@ -1608,6 +1748,7 @@ def _pvoc_kernel_stream(
     out_ref, carry_out, tail_out, carry_ref, tail_ref,
     *, overlap: int, rs: int, ra: int, m: int, tile: int,
     fwd_passes: int, inv_passes: int, fold: bool, inv_rev_passes: int = 3,
+    normed: bool = False,
 ):
     """Streaming wrapper over _pvoc_tile: one fixed-shape SEGMENT per call.
 
@@ -1643,7 +1784,7 @@ def _pvoc_kernel_stream(
         fwd_passes=fwd_passes, inv_passes=inv_passes, fold=fold,
         inv_rev_passes=inv_rev_passes, started=started, goff=goff,
     )
-    out_ref[:] = buf[:tile] * norm[m - 1 : m, :]
+    out_ref[:] = buf if normed else buf * norm[m - 1 : m, :]
 
     @pl.when(i == 0)
     def _():
@@ -1690,7 +1831,9 @@ def fused_stream_segment(
         raise ValueError(f"segment frames {F} must be a positive multiple of tile {tile}")
     grid = F // tile
 
-    mats, fwd_passes, inv_passes, fold = _pvoc_mats(n_fft, fast)
+    mats, fwd_passes, inv_passes, fold, normed = _pvoc_mats(
+        n_fft, fast, norm_rs=rs
+    )
     consts = tuple(
         jnp.asarray(c) for c in _phasor_consts_packed(n_fft, hop, rs)
     )
@@ -1703,7 +1846,7 @@ def fused_stream_segment(
         functools.partial(
             _pvoc_kernel_stream, overlap=overlap, rs=rs, ra=hop, m=m,
             tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
-            fold=fold, inv_rev_passes=_INV_REV_PASSES,
+            fold=fold, inv_rev_passes=_INV_REV_PASSES, normed=normed,
         ),
         grid=(grid,),
         in_specs=[
@@ -1737,6 +1880,25 @@ def fused_stream_segment(
     )(flags, rows_seg, rows_seg, *(jnp.asarray(m_) for m_ in mats), *consts,
       jnp.asarray(norm_tbl), fmask, carry, tail)
     return out, carry_out, tail_out
+
+
+def stream_norm_tables(n_fft: int, rs: int, fast: bool = True):
+    """(first_tbl, cont_tbl) for fused_stream_segment's norm input.
+
+    With the interior normalization folded into the matrices (normed), the
+    first segment needs the head-row CORRECTION table and continuing
+    segments need all-ones; otherwise the real head/interior tables.
+    """
+    head_tbl, _ = _ola_norm_tables(n_fft, rs)
+    m = n_fft // rs
+    normed = _pvoc_mats(n_fft, fast, norm_rs=rs)[4]
+    if normed:
+        first = head_tbl / head_tbl[m - 1 : m]
+        cont = np.ones_like(head_tbl)
+    else:
+        first = head_tbl
+        cont = np.broadcast_to(head_tbl[m - 1 : m], head_tbl.shape).copy()
+    return first, cont
 
 
 def fused_time_stretch_batch(
@@ -1795,11 +1957,15 @@ def fused_time_stretch_batch(
         jnp.arange(nf_pad, dtype=jnp.int32)[None, :] < nfs[:, None]
     ).astype(jnp.float32)[..., None]  # (B, nf_pad, 1)
 
-    mats, fwd_passes, inv_passes, fold = _pvoc_mats(n_fft, fast)
+    mats, fwd_passes, inv_passes, fold, normed = _pvoc_mats(
+        n_fft, fast, norm_rs=rs
+    )
     consts = tuple(
         jnp.asarray(c) for c in _phasor_consts_packed(n_fft, hop, rs)
     )
     head_tbl, tail_inv = _ola_norm_tables(n_fft, rs)
+    if normed:
+        head_tbl = head_tbl / head_tbl[m - 1 : m]
 
     mat_specs = [
         pl.BlockSpec(m_.shape, lambda b, i: (0, 0)) for m_ in mats
@@ -1808,7 +1974,7 @@ def fused_time_stretch_batch(
         functools.partial(
             _pvoc_kernel_batched, overlap=overlap, rs=rs, ra=hop, m=m,
             tile=tile, fwd_passes=fwd_passes, inv_passes=inv_passes,
-            fold=fold, inv_rev_passes=_INV_REV_PASSES,
+            fold=fold, inv_rev_passes=_INV_REV_PASSES, normed=normed,
         ),
         grid=(B, grid),
         in_specs=[

@@ -35,6 +35,10 @@ import jax.numpy as jnp
 import numpy as np
 
 _BLOCK = 1024  # positions-precision block (f64 host starts)
+# Rows per grid step of the strided-select kernel; sweepable on chip (the
+# r03 kernel was grid-overhead-bound at small B — more rows per step
+# amortize it; VMEM use is R*(Sp+3B)*4 bytes).
+_SEL_ROWS = 32
 # Output block for the strided-select path. Chip sweep (PROFILE_r03.json):
 # 512 maximizes the row-gather/select-loop tradeoff — 162.6 M out-samples/s
 # at step 1.335 (vs 73.7 at B=128, 118.3 at B=1024); 127 M/s at step 0.749.
@@ -300,7 +304,7 @@ def _select_kernel_call(spans, k, fr, K: int, c: int):
 
     nb, S = spans.shape
     B = k.shape[1]
-    R = 32  # rows per grid step (VMEM: R*(Sp+3B)*4 ~ 300 KB)
+    R = _SEL_ROWS  # rows per grid step (VMEM: R*(Sp+3B)*4 ~ 300 KB at 32)
     nbp = -(-nb // R) * R
     Sp = -(-(S) // 128) * 128
     spans_p = jnp.pad(spans, ((0, nbp - nb), (0, Sp - S)))

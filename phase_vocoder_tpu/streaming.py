@@ -320,16 +320,16 @@ def _fused_scan_from(
     fix on rows nf..nf+m-2 of the full assembly.
     """
     from .ops.pallas.fused import (
-        _ola_norm_tables,
         _pick_tile,
         fused_stream_segment,
+        stream_norm_tables,
     )
 
     m = n_fft // rs
     tile = _pick_tile(n_fft, rs, F)
-    head_tbl, _ = _ola_norm_tables(n_fft, rs)
-    head_tbl = jnp.asarray(head_tbl)
-    interior_tbl = jnp.broadcast_to(head_tbl[m - 1 : m], head_tbl.shape)
+    first, cont = stream_norm_tables(n_fft, rs)
+    head_tbl = jnp.asarray(first)
+    interior_tbl = jnp.asarray(cont)
     s0 = state0.frame_offset // jnp.int32(F)
 
     def body(state: FusedStreamState, j):

@@ -93,3 +93,20 @@ def test_batched_chunked_2d_mesh_fused():
                 np.abs(single[sl])
             )
             assert err < 5e-5, (stretch, err)
+
+
+def test_cli_stretch_checkpointed_fused(tmp_path, capsys):
+    """--checkpoint-dir with the pallas backend rides the fused streaming
+    checkpointer and matches the plain fused run bit-for-bit."""
+    wav = str(tmp_path / "in8.wav")
+    write_wav(wav, make_test_signal(8.0), 16000)
+    out = str(tmp_path / "out.wav")
+    ck = str(tmp_path / "ck")
+    assert cli.main([
+        "stretch", wav, out, "--ratio", "2.0", "--fft-backend", "pallas",
+        "--checkpoint-dir", ck, "--segment-frames", "256", "--float32",
+    ]) == 0
+    y, _ = read_wav(out)
+    x, _ = read_wav(wav)
+    ref = np.asarray(time_stretch(x, 2.0, PvocConfig(fft_backend="pallas")))
+    np.testing.assert_array_equal(y, ref.astype(np.float32))
