@@ -144,16 +144,15 @@ def _build_frames(rows_a, rows_b, tile: int, overlap: int):
 def _pick_tile(n_fft: int, rs: int, nf: int) -> int:
     """Frames per grid step for the single-kernel path: 256.
 
-    256 measured 155.7k audio-s/s at the canonical 2.0x point with the
-    closed-form phase path (PROFILE_r03.json tile sweeps; 2.4% over 128).
-    384 clocked 158.6k at 14400 s but trips Mosaic's scoped-VMEM stack
-    allocator at OTHER lengths with the same kernel (measured: over by
-    784K at 60 s / m=4 tile 384, by ~1.5M at 3600 s / m=2, yet fine at
-    14400 s / m=2 — the headroom depends on grid count through the
-    compiler's buffering choices, so 384 is not robust as a default;
-    callers chasing the last 1.9% on long recordings can pass tile=384
-    explicitly). The split kernels keep stft._TILE_F=128 (layouts shared
-    with the chunk programs)."""
+    r04 re-sweep on the reworked kernel (PROFILE_r04.json): 256 is the
+    robust optimum — 320/384/448/512 measured within or below one
+    session's noise band of it, and cross-session deltas up to 7% of a
+    94 ms call turned out to be remote-tunnel dispatch variance, not
+    kernel speed (see PROFILE_r04 `dispatch_overhead`; bench.py amortizes
+    it by chaining invocations per dispatch). 384 additionally trips
+    Mosaic's grid-count-dependent scoped-VMEM limit at some lengths
+    (r03). The split kernels keep stft._TILE_F=128 (layouts shared with
+    the chunk programs)."""
     return 256
 
 

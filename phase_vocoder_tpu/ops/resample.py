@@ -39,6 +39,14 @@ _BLOCK = 1024  # positions-precision block (f64 host starts)
 # r03 kernel was grid-overhead-bound at small B — more rows per step
 # amortize it; VMEM use is R*(Sp+3B)*4 bytes).
 _SEL_ROWS = 32
+# Select implementation: "roll" = K+1 lane rotations + masked selects;
+# "matmul" = per-row one-hot (iota compares) selected via 3-pass exact MXU
+# matmuls (_select_mm_body). A/B'd on chip (PITCH_r04 attribution).
+_SEL_IMPL = "roll"
+_SEL_MM_ROWS = 8
+# Blocks per superblock in the gather-free span construction (drift
+# absorbed into the select range: K -> K + _SEL_SUPER).
+_SEL_SUPER = 64
 # Output block for the strided-select path. Chip sweep (PROFILE_r03.json):
 # 512 maximizes the row-gather/select-loop tradeoff — 162.6 M out-samples/s
 # at step 1.335 (vs 73.7 at B=128, 118.3 at B=1024); 127 M/s at step 0.749.
@@ -224,11 +232,83 @@ def _resample_strided_select(
     starts = lo_b[:, 0]  # (nb,) block input starts (monotone)
     o = lo_b - starts[:, None]  # (nb, B) in-block offsets, >= 0
 
-    c = int(np.floor(step)) if step >= 1.0 else 0
+    c_floor = int(np.floor(step)) if step >= 1.0 else 0
     # k_r = o_r - c*r: bounded by the fractional accumulation across one
     # block (+ rounding slack); K is static.
-    K = int(np.ceil(B * (step - c))) + 3
-    S = c * (B - 1) + K + 1  # widest span incl. the +1 lerp neighbor
+    K = int(np.ceil(B * (step - c_floor))) + 3
+    S = c_floor * (B - 1) + K + 1  # widest span incl. the +1 lerp neighbor
+
+    fr2 = jnp.pad(frac, (0, pad_out)).reshape(nb, B)
+    if c_floor <= 1:
+        # c = round(step) capped at 1 (the kernel's lane ramp supports
+        # c in {0, 1}): for step in [0.5, 1) this runs the select at
+        # c = 1 with a LEFT OFFSET absorbing the negative drift — the
+        # roll count K tracks B*|step - 1| instead of B*step (measured
+        # ~2x fewer rolls at step 0.749).
+        if step >= 1.0:
+            c, OFF = 1, 0
+            K = int(np.ceil(B * (step - 1.0))) + 3
+        elif step >= 0.5:
+            c = 1
+            OFF = int(np.ceil(B * (1.0 - step))) + 3
+            K = OFF + 3
+        else:
+            c, OFF = 0, 0
+            K = int(np.ceil(B * step)) + 3
+        # Every pitch-shift step lands here (step in (0.5, 2)). r04: the
+        # per-block span ROW GATHER (nb ~ 90k rows of ~S samples) measured
+        # 64% of the whole resample (select_attr, chip) — so spans are now
+        # built GATHER-FREE from SUPERBLOCKS: G consecutive blocks share
+        # one long contiguous window (one gather of nb/G long rows — DMA-
+        # friendly), and within a superblock every block's span starts at
+        # a FIXED stride floor(B*step); the per-block drift (< G) is
+        # absorbed into the select offset k, whose range grows K -> K+G.
+        # The window then reshapes into per-block span rows with pure
+        # static slices (the framing fold trick).
+        G = _SEL_SUPER
+        stride = max(1, int(np.floor(B * step)))
+        Kp = K + G  # drift bound: 0 <= exact_start - fixed_start < G
+        W = c * (B - 1) + Kp + 1
+        nr = -(-W // stride) + 1  # rows per span window
+        n_super = -(-nb // G)
+        sb_len = (G + nr - 1) * stride  # samples per superblock row
+        # Anchor = exact start of each superblock's first block.
+        nb_pad = n_super * G
+        starts_p = jnp.pad(starts, (0, nb_pad - nb), mode="edge")
+        anchors = starts_p.reshape(n_super, G)[:, 0]  # (n_super,)
+        used = (
+            anchors[:, None]
+            + stride * jnp.arange(G, dtype=jnp.int32)[None, :]
+        ).reshape(-1)[:nb]  # fixed span starts per block
+        # Left pad by OFF: window [used - OFF, ...) in x coordinates is
+        # [used, ...) in xp coordinates, so anchors need no adjustment.
+        xp = jnp.pad(x, (OFF, sb_len + stride + 1), mode="edge")
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        )
+        supers = jax.lax.gather(
+            xp,
+            anchors[:, None],
+            dnums,
+            slice_sizes=(sb_len,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # (n_super, sb_len)
+        rows = supers.reshape(n_super, G + nr - 1, stride)
+        parts = [rows[:, j : j + G, :] for j in range(nr)]
+        spans = jnp.concatenate(parts, axis=-1).reshape(
+            n_super * G, nr * stride
+        )[:nb]
+        k = (
+            lo_b - used[:, None] + OFF
+            - c * jnp.arange(B, dtype=jnp.int32)[None, :]
+        )
+        # Right-edge clamp: where lo was clipped to n-1 (positions past
+        # the end), k can fall below 0; clamping re-points the select at
+        # an index >= the clipped one, which the edge padding maps to
+        # x[n-1] — exactly the reference clamp semantics.
+        k = jnp.clip(k, 0, Kp - 1)
+        out = _select_kernel_call(spans, k, fr2, K=Kp, c=c)
+        return out.reshape(-1)[:out_len]
 
     # Span matrix via row gather: nb slices of S contiguous samples.
     xp = jnp.pad(x, (0, S + 1), mode="edge")
@@ -243,20 +323,9 @@ def _resample_strided_select(
         mode=jax.lax.GatherScatterMode.CLIP,
     )  # (nb, S)
 
+    c = c_floor
     k = o - c * jnp.arange(B, dtype=jnp.int32)[None, :]  # (nb, B) in [0, K)
-    # Right-edge clamp: where lo was clipped to n-1 (positions past the
-    # end), k can fall below 0; clamping re-points the select at an index
-    # >= the clipped one, which the edge padding maps to x[n-1] — exactly
-    # the reference clamp semantics.
     k = jnp.clip(k, 0, K - 1)
-    fr2 = jnp.pad(frac, (0, pad_out)).reshape(nb, B)
-    if c <= 1:
-        # Every pitch-shift step lands here (step in (0.5, 2)); the K-way
-        # masked select runs inside a Pallas kernel with VMEM-resident
-        # accumulators — the XLA loop below materializes (nb, B)
-        # intermediates per k and is HBM-bound.
-        out = _select_kernel_call(spans, k, fr2, K=K, c=c)
-        return out.reshape(-1)[:out_len]
     acc_lo = jnp.zeros((nb, B), x.dtype)
     acc_hi = jnp.zeros((nb, B), x.dtype)
     width = c * (B - 1) + 1
@@ -268,6 +337,56 @@ def _resample_strided_select(
         acc_hi = acc_hi + jnp.where(m, sl1, 0)
     out = acc_lo * (1.0 - fr2) + acc_hi * fr2
     return out.reshape(-1)[:out_len]
+
+
+def _select_mm_body(spans_ref, k_ref, fr_ref, out_ref, *, c: int):
+    """MXU one-hot select: out[r] = lerp(span[c*r + k_r], fr_r) as matmuls.
+
+    The roll-based select (below) costs K+1 sequential lane rotations of
+    the span per block (K ~ B*(step-c) ~ 174 at B=512) and measured only
+    130-190 M out-samples/s on chip — the rotations, not arithmetic, bind.
+    Here each block row builds a {0,1} one-hot (Sp, B) from iota compares
+    (pure elementwise, no data movement) and SELECTS VIA THE MXU:
+    lo = span_row @ onehot (3-pass exact: one-hot is bf16-exact, the span
+    is 3-way bitmask-split), hi reuses the SAME one-hot against the
+    1-shifted span. Exact lerp, zero gathers, reduction on the otherwise
+    idle MXU.
+    """
+    from .pallas.fused import _split32_3
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    sp = spans_ref[:]  # (R, Sp) f32
+    k = k_ref[:]  # (R, B) int32
+    fr = fr_ref[:]
+    R, Sp = sp.shape
+    B = k.shape[1]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (Sp, B), 0)
+    if c:
+        iota_b = jax.lax.broadcasted_iota(jnp.int32, (Sp, B), 1)
+    sp_sh = pltpu.roll(sp, Sp - 1, 1)  # sp_sh[:, s] = sp[:, s+1]
+    h1, h2, h3 = _split32_3(sp)
+    g1, g2, g3 = _split32_3(sp_sh)
+    rows_lo = []
+    rows_hi = []
+    for q in range(R):
+        tgt = k[q : q + 1, :]  # (1, B) broadcasts over the Sp axis
+        if c:
+            tgt = tgt + c * iota_b
+        oh = (iota_s == tgt).astype(jnp.bfloat16)  # (Sp, B), exact
+
+        def sel(p1, p2, p3):
+            r = jnp.dot(p1[q : q + 1], oh, preferred_element_type=jnp.float32)
+            r = r + jnp.dot(p2[q : q + 1], oh,
+                            preferred_element_type=jnp.float32)
+            return r + jnp.dot(p3[q : q + 1], oh,
+                               preferred_element_type=jnp.float32)
+
+        rows_lo.append(sel(h1, h2, h3))
+        rows_hi.append(sel(g1, g2, g3))
+    lo = jnp.concatenate(rows_lo, axis=0)  # (R, B)
+    hi = jnp.concatenate(rows_hi, axis=0)
+    out_ref[:] = lo * (1.0 - fr) + hi * fr
 
 
 def _select_body(spans_ref, k_ref, fr_ref, out_ref, *, K: int, c: int):
@@ -304,14 +423,19 @@ def _select_kernel_call(spans, k, fr, K: int, c: int):
 
     nb, S = spans.shape
     B = k.shape[1]
-    R = _SEL_ROWS  # rows per grid step (VMEM: R*(Sp+3B)*4 ~ 300 KB at 32)
+    mm = _SEL_IMPL == "matmul"
+    R = _SEL_MM_ROWS if mm else _SEL_ROWS
     nbp = -(-nb // R) * R
     Sp = -(-(S) // 128) * 128
     spans_p = jnp.pad(spans, ((0, nbp - nb), (0, Sp - S)))
     k_p = jnp.pad(k, ((0, nbp - nb), (0, 0)))
     fr_p = jnp.pad(fr, ((0, nbp - nb), (0, 0)))
+    if mm:
+        body = functools.partial(_select_mm_body, c=c)
+    else:
+        body = functools.partial(_select_body, K=K, c=c)
     out = pl.pallas_call(
-        functools.partial(_select_body, K=K, c=c),
+        body,
         grid=(nbp // R,),
         in_specs=[
             pl.BlockSpec((R, Sp), lambda i: (i, 0)),
