@@ -44,7 +44,7 @@ def run_bench(
     iters: int = 5,
     backend: str = "pallas",
     check: bool = True,
-    chain: int = 4,
+    chain: int = 8,
 ) -> dict:
     import jax
     import jax.numpy as jnp
