@@ -107,7 +107,6 @@ def run_bench(
     # computation actually finishes, so only a host-visible data dependency
     # gives honest timings.
     path = "stream"
-    tile_used = None
     if pipeline.fused_ok(cfg, rs):
         from phase_vocoder_tpu.ops.pallas.fused import fused_time_stretch
 
@@ -182,8 +181,6 @@ def run_bench(
         "path": path,
         "iters": iters,
     }
-    if tile_used is not None:
-        rec["tile"] = tile_used
 
     if check:
         if gate:

@@ -123,9 +123,15 @@ _FRAMING = "roll"
 
 
 def set_framing_mode(mode: str) -> None:
+    """EXPERIMENTAL profiler A/B knob — 'slice' re-enables the framing
+    variant CLAUDE.md records as measured-and-rejected (Mosaic HTTP-500s at
+    some geometries). Trace-time global: caches are cleared here so stale
+    kernels cannot survive the flip (ADVICE r04)."""
     global _FRAMING
     assert mode in ("roll", "slice"), mode
-    _FRAMING = mode
+    if mode != _FRAMING:
+        _FRAMING = mode
+        jax.clear_caches()
 
 
 def _build_frames(rows_a, rows_b, tile: int, overlap: int):
@@ -160,27 +166,39 @@ def phasor_supported(n_fft: int, ra: int, rs: int, max_int_k: int = 8) -> bool:
     """True when the fully fused single-kernel phasor path covers this
     geometry.
 
-    Needs the fold framing/OLA layout (Ra | N, Rs | N, overlap >= 2) and a
-    hop ratio k = Rs/Ra = p/q with q in {1, 2, 4} and small p (_pow_k).
-    Covers every BASELINE operating point (stretch 0.5/1/2, pitch +-12).
+    Needs the fold framing layout (Ra | N, even N) and overlap >= 2
+    (2*Rs <= N). Since round 5 the synthesis hop is UNRESTRICTED below
+    N/2: rs | n_fft rides the exact roll fold OLA as before, and general
+    hops (e.g. the -7/+5 st pitch hops Rs=171/342, or stretch 1.5 ->
+    Rs=384) use the ceil-segment fold with a zero-padded last segment —
+    same kernel, same closed-form/scan phase machinery, with q-general
+    hop ratios handled by the angle-domain term path (_pow_k). Covers
+    every BASELINE operating point plus all +-12 st pitch hops.
     """
-    if n_fft % ra != 0 or n_fft % rs != 0 or n_fft // rs < 2:
+    if n_fft % ra != 0 or n_fft % 2 != 0 or rs <= 0 or 2 * rs > n_fft:
         return False
     p, q = _rational_k(rs, ra)
-    return q in (1, 2, 4) and 1 <= p <= max_int_k
+    if q in (1, 2, 4) and p > max_int_k:
+        # Huge integer multiples would unroll _int_pow excessively; the
+        # angle-domain path covers them, so still supported.
+        return True
+    return True
+
+
+def fold_ola_supported(n_fft: int, rs: int) -> bool:
+    """True when rs | n_fft with overlap >= 2 — the layouts the SPLIT
+    synthesis kernel (phasor_istft_ola) and the chunked fused body share."""
+    return n_fft % rs == 0 and n_fft // rs >= 2
 
 
 def phasor_terms_supported(n_fft: int, ra: int, rs: int, max_p: int = 8) -> bool:
     """True when the SPLIT phasor path (stft_phasor_terms + general-hop
-    synthesis) covers this geometry — the fold OLA constraint (Rs | N) is
-    dropped, so rational hops like stretch 1.5 (Rs=384 at N=1024) and the
-    -5/+7 st pitch hops (Rs=192/384 -> k=3/4, 3/2) ride the phasor-form
-    analysis instead of the polar arctan2 + compensated-scan path.
+    synthesis) covers this geometry — no constraint on rs at all beyond
+    positivity: rational hops ride the algebraic root/power path (q in
+    {1, 2, 4}) and everything else the angle-domain path (_pow_k general
+    branch), instead of the polar arctan2 + compensated-scan path.
     """
-    if n_fft % ra != 0 or rs <= 0:
-        return False
-    p, q = _rational_k(rs, ra)
-    return q in (1, 2, 4) and 1 <= p <= max_p
+    return n_fft % ra == 0 and rs > 0
 
 
 def _rational_k(rs: int, ra: int) -> tuple[int, int]:
@@ -233,24 +251,91 @@ def _principal_sqrt(zre, zim):
     )
 
 
-def _pow_k(zre, zim, rs: int, ra: int):
-    """z^k for rational k = rs/ra = p/q (q in {1, 2, 4}), unit z, elementwise.
+_PI_F32 = 3.14159265358979
+_PIO2_F32 = 1.5707963267948966
+_PIO4_F32 = 0.7853981633974483
+_TAN_PIO8 = 0.41421356237309503
 
-    e^{i k princarg(d)}: take the principal q-th root FIRST (for q = 2^j,
-    j nested principal square roots — arg lands in (-pi/q, pi/q], exactly
-    princarg(d)/q), then the integer p-th power (angles < pi so no wrap).
-    q = 1 is the exact integer path; q > 1 inherits the k = 1/2 branch-cut
-    caveat (see the numerical notes at the top of this module).
+
+def _atan2(y, x):
+    """Principal-branch atan2 with the kernel-safe polynomial lowering.
+
+    Mosaic has no atan/atan2 lowering (ops/pallas/stft.py note, re-verified
+    round 5), so this is the Cephes-style f32 atan: reduce |y/x| into
+    [0, tan(pi/8)] with at most one (t-1)/(t+1) fold, a degree-9 odd
+    minimax polynomial (~1 ulp on the reduced range), then quadrant
+    reconstruction. Matches princarg's (-pi, pi] convention: y == +-0 with
+    x < 0 returns +pi (golden/pv_ref.py princarg(pi) = pi). Absolute angle
+    error measured < 4e-7 rad vs f64 (tests/test_fused.py), inside the
+    phasor paths' per-term rounding budget.
+    """
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    swap = ay > ax
+    num = jnp.minimum(ax, ay)
+    den = jnp.maximum(jnp.maximum(ax, ay), _TINY)
+    t = num / den
+    big = t > _TAN_PIO8
+    z = jnp.where(big, (t - 1.0) / (t + 1.0), t)
+    s = z * z
+    p = jnp.float32(8.05374449538e-2)
+    p = p * s - jnp.float32(1.38776856032e-1)
+    p = p * s + jnp.float32(1.99777106478e-1)
+    p = p * s - jnp.float32(3.33329491539e-1)
+    r = p * s * z + z
+    r = jnp.where(big, r + jnp.float32(_PIO4_F32), r)
+    r = jnp.where(swap, jnp.float32(_PIO2_F32) - r, r)
+    r = jnp.where(x < 0, jnp.float32(_PI_F32) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _pow_k(zre, zim, rs: int, ra: int):
+    """z^k for rational k = rs/ra, unit z, elementwise.
+
+    e^{i k princarg(d)}. Two regimes:
+
+      * q in {1, 2, 4}, small p (every BASELINE hop): principal q-th root
+        FIRST (for q = 2^j, j nested principal square roots — arg lands in
+        (-pi/q, pi/q], exactly princarg(d)/q), then the integer p-th power
+        (angles < pi so no wrap). Pure algebra, no transcendentals. q = 1
+        is the exact integer path; q > 1 inherits the k = 1/2 branch-cut
+        caveat (see the numerical notes at the top of this module).
+      * general q (irreducible hops — e.g. the -7/+5 st pitch hops
+        k = 171/256, 171/128; round 5): angle domain. theta =
+        atan2(zim, zre) = princarg(d) exactly as the golden computes it,
+        then e^{i k theta} via cos/sin. Nested principal roots were
+        REJECTED for this regime: the p-th power amplifies the root
+        chain's ~1e-7 rad error by p (~3.4e-5 rad/term at p=171), a
+        random walk over frames that breaches the 1e-4 gate within
+        minutes; the trig path keeps per-term error at the f32 atan/cos
+        floor (~3e-7 rad).
     """
     p, q = _rational_k(rs, ra)
-    if q not in (1, 2, 4):
-        raise ValueError(f"unsupported hop ratio rs/ra = {rs}/{ra}")
-    wre, wim = zre, zim
-    for _ in range(q.bit_length() - 1):
-        wre, wim = _principal_sqrt(wre, wim)
-    if p == 1:
-        return wre, wim
-    return _int_pow(wre, wim, p)
+    if q in (1, 2, 4) and p <= 8 and (q == 1 or _Q_ALGEBRAIC):
+        wre, wim = zre, zim
+        for _ in range(q.bit_length() - 1):
+            wre, wim = _principal_sqrt(wre, wim)
+        if p == 1:
+            return wre, wim
+        return _int_pow(wre, wim, p)
+    k = jnp.float32(p / q)  # dyadic-exact for power-of-two analysis hops
+    ang = _atan2(zim, zre) * k
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+# q in {2, 4} term path: True = principal-root algebra (no
+# transcendentals), False = the angle-domain (atan2 + cos/sin) path the
+# general-q hops use. A/B knob for the branch-tracking accuracy experiment
+# (VERDICT r04 #2); the two differ only in rounding pattern near the
+# princarg branch point. Integer q = 1 always stays algebraic (exact).
+_Q_ALGEBRAIC = True
+
+
+def set_q_algebraic(enabled: bool) -> None:
+    global _Q_ALGEBRAIC
+    if enabled != _Q_ALGEBRAIC:
+        _Q_ALGEBRAIC = enabled
+        jax.clear_caches()
 
 
 def _split32(x):
@@ -668,7 +753,7 @@ def stft_phasor_terms(
     tile = _TILE_F  # fixed tile: alignment-safe, tiny nf just pads
     # Pad so the synthesis kernel's OLA spill rows (nf .. nf+m-2, m = N/rs)
     # always land inside the main output — one shared layout for K1/K2.
-    nf_pad = -(-(nf + n_fft // rs - 1) // tile) * tile
+    nf_pad = -(-(nf + -(-n_fft // rs) - 1) // tile) * tile
     grid = nf_pad // tile
 
     # rows view of the padded signal; one extra tile so the i+1 block of the
@@ -734,7 +819,7 @@ def stft_phasor_terms_batch(
     n_bins = n_fft // 2 + 1
     nbp = _pad_bins(n_bins)
     tile = _TILE_F
-    nf_pad = -(-(nf + n_fft // rs - 1) // tile) * tile
+    nf_pad = -(-(nf + -(-n_fft // rs) - 1) // tile) * tile
     grid = nf_pad // tile
 
     n_rows = (grid + 1) * tile
@@ -931,12 +1016,20 @@ def _ola_norm_tables(n_fft: int, rs: int, eps: float = 1e-8):
     output rows; rows m-1..R-1: inverse interior COLA energy (the same for
     every interior row — this is what makes in-kernel normalization a
     constant-table multiply). tail_inv normalizes the m-1 tail rows.
+
+    General hops (rs not dividing n_fft): m = ceil(n_fft/rs) and the
+    window-energy row is zero-padded to m*rs before segmenting — output
+    position t receives window energy sum_s w2[t + s*rs] over in-range s,
+    which depends only on t mod rs, so the constant-table structure (and
+    the interior-fold trick in _pvoc_mats) survives unchanged.
     """
-    m = n_fft // rs
+    m = -(-n_fft // rs)
     rows = max(8, -(-m // 8) * 8)  # sublane-aligned, covers overlap m > 8
     t = np.arange(n_fft, dtype=np.float64)
     w2 = (0.5 - 0.5 * np.cos(2.0 * np.pi * t / n_fft)) ** 2
-    seg = w2.reshape(m, rs)
+    w2p = np.zeros(m * rs, np.float64)
+    w2p[:n_fft] = w2
+    seg = w2p.reshape(m, rs)
     full = np.maximum(seg.sum(axis=0), eps)
     head = np.full((rows, rs), 1.0 / full, np.float64)
     for r in range(m - 1):
@@ -1363,11 +1456,21 @@ def _pvoc_tile(
     # in PROFILE_r04 ablations). Segment s of frame j lands in output row
     # j+s: a sublane roll by s aligns it; rows < s of the rolled block are
     # the WRAPPED rows (frames tile-s+j) — exactly the spill into the next
-    # tile, accumulated into tail_ref. Returns main (tile, rs); when the
-    # interior COLA normalization is folded into the unfold rows
-    # (_pvoc_mats normed=True) this is the normalized signal directly.
+    # tile, accumulated into tail_ref. General hops (rs not dividing
+    # n_fft, round 5): m = ceil(n_fft/rs) and the frame columns are
+    # zero-padded to m*rs — the padded lanes contribute nothing, so the
+    # same roll structure is exact for ANY rs (frame j always starts at
+    # output row j). Returns main (tile, rs); when the interior COLA
+    # normalization is folded into the unfold rows (_pvoc_mats
+    # normed=True) this is the normalized signal directly.
     if "ola" in skip:
         return frames_o[:, :rs]
+    n_cols = frames_o.shape[1]
+    if m * rs > n_cols:
+        frames_o = jnp.concatenate(
+            [frames_o, jnp.zeros((tile, m * rs - n_cols), jnp.float32)],
+            axis=1,
+        )
     row_r = jax.lax.broadcasted_iota(jnp.int32, (tile, rs), 0)
     main = frames_o[:, :rs]
     wrap = None
@@ -1570,7 +1673,7 @@ def _pvoc_mats(n_fft: int, fast: bool, fwd_passes: int | None = None,
     # halves the MXU volume of both DFT stages. Gated on fast so
     # fast=False remains the non-fold full-precision path.
     fold = fast and nbq == n_fft // 2
-    normed = fold and norm_rs is not None and n_fft % norm_rs == 0
+    normed = fold and norm_rs is not None and 2 * norm_rs <= n_fft
     if fold:
         fwd_passes = _FOLD_FWD_PASSES if fwd_passes is None else fwd_passes
         mc, ms, ic2, is2, rows8, rmat = _fold_consts(n_fft)
@@ -1579,10 +1682,12 @@ def _pvoc_mats(n_fft: int, fast: bool, fwd_passes: int | None = None,
             # the synthesis-window rows (w_lo row 6, w_hi row 7) and the
             # lane-0 correction rows of the unfold (rows 4/5 feed e2/y_mid,
             # which are PRE-window — only 6/7 touch the final columns).
+            # The interior energy depends only on t mod rs (see
+            # _ola_norm_tables), so the fold works for general hops too.
             interior = _ola_norm_tables(n_fft, norm_rs)[0][
-                n_fft // norm_rs - 1
+                -(-n_fft // norm_rs) - 1
             ]  # (rs,) = 1/full window energy per output lane
-            n_ext = np.tile(interior, n_fft // norm_rs)  # (n_fft,)
+            n_ext = interior[np.arange(n_fft) % norm_rs]  # (n_fft,)
             L = n_fft // 2
             rows8 = rows8.copy()
             rows8[6] = rows8[6] * n_ext[:L]
@@ -1651,13 +1756,13 @@ def fused_time_stretch(
         # lane-0 pass-through, which is only correct for even n_fft (where
         # that bin IS the real Nyquist line).
         raise ValueError("fused path requires even n_fft")
-    if n_fft % rs != 0 or n_fft // rs < 2:
-        raise ValueError("fused path requires rs | n_fft with overlap >= 2")
+    if rs <= 0 or 2 * rs > n_fft:
+        raise ValueError("fused path requires 0 < rs <= n_fft/2 (overlap >= 2)")
     nf = num_frames(x.shape[-1], n_fft, hop)
     if nf <= 0:
         raise ValueError("input shorter than one frame")
     overlap = n_fft // hop
-    m = n_fft // rs
+    m = -(-n_fft // rs)  # ceil: general hops pad the last OLA segment
     nbq = _pad_bins(n_fft // 2)
     tile = _pick_tile(n_fft, rs, nf) if tile is None else tile
     nf_pad = -(-(nf + m - 1) // tile) * tile
@@ -1819,10 +1924,10 @@ def fused_stream_segment(
     row broadcast on continuing ones (streaming.py builds it).
     Returns (out (F, rs) interior-normalized, carry', tail').
     """
-    if n_fft % hop != 0 or n_fft % rs != 0 or n_fft // rs < 2:
-        raise ValueError("fused stream requires hop | n_fft, rs | n_fft, overlap >= 2")
+    if n_fft % hop != 0 or rs <= 0 or 2 * rs > n_fft:
+        raise ValueError("fused stream requires hop | n_fft and rs <= n_fft/2")
     overlap = n_fft // hop
-    m = n_fft // rs
+    m = -(-n_fft // rs)
     nbq = _pad_bins(n_fft // 2)
     tile = _pick_tile(n_fft, rs, 0) if tile is None else tile
     F = rows_seg.shape[0] - tile
@@ -1889,7 +1994,7 @@ def stream_norm_tables(n_fft: int, rs: int, fast: bool = True):
     segments need all-ones; otherwise the real head/interior tables.
     """
     head_tbl, _ = _ola_norm_tables(n_fft, rs)
-    m = n_fft // rs
+    m = -(-n_fft // rs)
     normed = _pvoc_mats(n_fft, fast, norm_rs=rs)[4]
     if normed:
         first = head_tbl / head_tbl[m - 1 : m]
@@ -1927,14 +2032,14 @@ def fused_time_stretch_batch(
         raise ValueError("fused path requires hop | n_fft")
     if n_fft % 2 != 0:
         raise ValueError("fused path requires even n_fft")
-    if n_fft % rs != 0 or n_fft // rs < 2:
-        raise ValueError("fused path requires rs | n_fft with overlap >= 2")
+    if rs <= 0 or 2 * rs > n_fft:
+        raise ValueError("fused path requires 0 < rs <= n_fft/2 (overlap >= 2)")
     B = xs.shape[0]
     nf = num_frames(xs.shape[-1], n_fft, hop)
     if nf <= 0:
         raise ValueError("input shorter than one frame")
     overlap = n_fft // hop
-    m = n_fft // rs
+    m = -(-n_fft // rs)
     nbq = _pad_bins(n_fft // 2)
     tile = _pick_tile(n_fft, rs, nf)  # same kernel body as fused_time_stretch
     nf_pad = -(-(nf + m - 1) // tile) * tile

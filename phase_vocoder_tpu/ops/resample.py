@@ -39,10 +39,15 @@ _BLOCK = 1024  # positions-precision block (f64 host starts)
 # r03 kernel was grid-overhead-bound at small B — more rows per step
 # amortize it; VMEM use is R*(Sp+3B)*4 bytes).
 _SEL_ROWS = 32
-# Select implementation: "roll" = K+1 lane rotations + masked selects;
-# "matmul" = per-row one-hot (iota compares) selected via 3-pass exact MXU
-# matmuls (_select_mm_body). A/B'd on chip (PITCH_r04 attribution).
-_SEL_IMPL = "roll"
+# Select implementation: "roll2" (default, round 5) = per-(row, chunk)
+# DYNAMIC pltpu.roll alignment (the base offset of each 128-lane output
+# chunk, read from SMEM) followed by a SHORT static select loop over the
+# chunk-local carry range only (~ceil(128*|step-c|) rolls instead of
+# ~B*|step-c| + superblock drift: 47 vs 238 at step 1.335) — ~4x less
+# roll work per output. "roll" = the r04 single-level K+1 rotations;
+# "matmul" = per-row one-hot MXU selects (_select_mm_body). All three
+# A/B'd on chip (PITCH_r04/r05 attribution).
+_SEL_IMPL = "roll2"
 _SEL_MM_ROWS = 8
 # Blocks per superblock in the gather-free span construction (drift
 # absorbed into the select range: K -> K + _SEL_SUPER).
@@ -307,7 +312,20 @@ def _resample_strided_select(
         # an index >= the clipped one, which the edge padding maps to
         # x[n-1] — exactly the reference clamp semantics.
         k = jnp.clip(k, 0, Kp - 1)
-        out = _select_kernel_call(spans, k, fr2, K=Kp, c=c)
+        # Lanes whose position clipped to the last sample (lo == n-1) give
+        # exactly x[n-1] (both lerp taps clamp); they are overwritten after
+        # the kernel. Those lanes AND the out_len padding lanes (whose
+        # edge-replicated lo breaks the in-chunk monotone-drift structure)
+        # are excluded from the v2 chunk-base minima so they cannot widen
+        # a chunk's residual range past its static bound.
+        in_range = (
+            jnp.arange(nb * B, dtype=jnp.int32).reshape(nb, B) < out_len
+        )
+        valid = (lo_b < (n - 1)) & in_range
+        out = _select_kernel_call(
+            spans, k, fr2, K=Kp, c=c, step=step, valid=valid
+        )
+        out = jnp.where(lo_b == n - 1, x[n - 1], out)
         return out.reshape(-1)[:out_len]
 
     # Span matrix via row gather: nb slices of S contiguous samples.
@@ -389,6 +407,59 @@ def _select_mm_body(spans_ref, k_ref, fr_ref, out_ref, *, c: int):
     out_ref[:] = lo * (1.0 - fr) + hi * fr
 
 
+_V2_CHUNK = 128  # output lanes per dynamically-aligned chunk
+
+
+def _select_body_v2(
+    spans_ref, bases_ref, k_ref, fr_ref, out_ref, *, K: int, c: int
+):
+    """Two-level select: dynamic per-chunk alignment + short static loop.
+
+    out[r] = lerp(span[c*r + k_r], fr_r) with k_r monotone (steps in
+    {0, +-1}). Level 1: each 128-lane chunk t of each block row q is
+    aligned by ONE dynamic lane roll of the span row (shift = c*128*t +
+    base_qt, base from SMEM — pltpu.roll takes traced shifts). Level 2:
+    the chunk-local residual k' = k - base spans only the within-chunk
+    carry drift (K ~ ceil(128*|step-c|) + slack), so the static
+    roll+select loop is ~4x shorter than the single-level r04 kernel
+    whose K also carried the full-block drift plus the superblock
+    construction drift (which is constant per row and cancels in k').
+
+    k_ref / fr_ref / out_ref are pre-reshaped to (R*nchunks, 128) rows so
+    no in-kernel sublane/lane reshape is needed.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    sp = spans_ref[:]  # (R, Sp)
+    R, Sp = sp.shape
+    B = _SEL_BLOCK
+    nch = B // _V2_CHUNK
+    # Aligned window: must cover c*(chunk-1) + K + 1 (the hi lerp tap).
+    W = min(Sp, -(-(c * (_V2_CHUNK - 1) + K + 2) // 128) * 128)
+    chunks = []
+    for q in range(R):
+        row = sp[q : q + 1, :]
+        for t in range(nch):
+            shift = c * (_V2_CHUNK * t) + bases_ref[q, t]
+            amt = jax.lax.rem(Sp - shift, Sp)
+            rolled = pltpu.roll(row, amt, 1)  # lane j = row[j+shift]
+            chunks.append(rolled[:, :W])
+    aligned = jnp.concatenate(chunks, axis=0)  # (R*nch, W)
+
+    k = k_ref[:]  # (R*nch, 128) chunk-local residual, in [0, K)
+    fr = fr_ref[:]
+    acc_lo = jnp.zeros_like(fr)
+    acc_hi = jnp.zeros_like(fr)
+    for kk in range(K + 1):
+        rolled = pltpu.roll(aligned, W - kk, 1) if kk else aligned
+        cur = rolled[:, :1] if c == 0 else rolled[:, :_V2_CHUNK]
+        if kk < K:
+            acc_lo = jnp.where(k == kk, cur, acc_lo)
+        if kk > 0:
+            acc_hi = jnp.where(k == kk - 1, cur, acc_hi)
+    out_ref[:] = acc_lo * (1.0 - fr) + acc_hi * fr
+
+
 def _select_body(spans_ref, k_ref, fr_ref, out_ref, *, K: int, c: int):
     """K-way masked select in VMEM: out[r] = lerp(span[c*r + k_r], fr_r).
 
@@ -416,20 +487,63 @@ def _select_body(spans_ref, k_ref, fr_ref, out_ref, *, K: int, c: int):
     out_ref[:] = acc_lo * (1.0 - fr) + acc_hi * fr
 
 
-def _select_kernel_call(spans, k, fr, K: int, c: int):
+def _select_kernel_call(
+    spans, k, fr, K: int, c: int, step: float = 1.0, valid=None
+):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     from .pallas.stft import _interpret, _out_struct
 
     nb, S = spans.shape
     B = k.shape[1]
-    mm = _SEL_IMPL == "matmul"
+    impl = _SEL_IMPL
+    if impl == "roll2" and B % _V2_CHUNK != 0:
+        impl = "roll"
+    mm = impl == "matmul"
     R = _SEL_MM_ROWS if mm else _SEL_ROWS
     nbp = -(-nb // R) * R
     Sp = -(-(S) // 128) * 128
     spans_p = jnp.pad(spans, ((0, nbp - nb), (0, Sp - S)))
     k_p = jnp.pad(k, ((0, nbp - nb), (0, 0)))
     fr_p = jnp.pad(fr, ((0, nbp - nb), (0, 0)))
+    if impl == "roll2":
+        # Chunk-local residual: bases = per-128-lane-chunk minima (the
+        # superblock drift is constant per row, the block carry drift per
+        # chunk is ~128*|step-c| — both removed by the dynamic alignment).
+        nch = B // _V2_CHUNK
+        k3 = k_p.reshape(nbp, nch, _V2_CHUNK)
+        if valid is not None:
+            v3 = jnp.pad(valid, ((0, nbp - nb), (0, 0))).reshape(
+                nbp, nch, _V2_CHUNK
+            )
+            k_for_base = jnp.where(v3, k3, 1 << 20)
+        else:
+            k_for_base = k3
+        bases = jnp.min(k_for_base, axis=2).astype(jnp.int32)  # (nbp, nch)
+        bases = jnp.minimum(bases, K - 1)  # all-invalid chunks: any in-range
+        K2 = int(np.ceil(_V2_CHUNK * abs(step - c))) + 4
+        k2 = jnp.clip(k3 - bases[:, :, None], 0, K2 - 1).reshape(
+            nbp * nch, _V2_CHUNK
+        )
+        fr2 = fr_p.reshape(nbp * nch, _V2_CHUNK)
+        Rc = R * nch
+        out = pl.pallas_call(
+            functools.partial(_select_body_v2, K=K2, c=c),
+            grid=(nbp // R,),
+            in_specs=[
+                pl.BlockSpec((R, Sp), lambda i: (i, 0)),
+                pl.BlockSpec(
+                    (R, nch), lambda i: (i, 0), memory_space=pltpu.SMEM
+                ),
+                pl.BlockSpec((Rc, _V2_CHUNK), lambda i: (i, 0)),
+                pl.BlockSpec((Rc, _V2_CHUNK), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((Rc, _V2_CHUNK), lambda i: (i, 0)),
+            out_shape=_out_struct((nbp * nch, _V2_CHUNK), jnp.float32, spans),
+            interpret=_interpret(),
+        )(spans_p, bases, k2, fr2)
+        return out.reshape(nbp, B)[:nb]
     if mm:
         body = functools.partial(_select_mm_body, c=c)
     else:

@@ -57,8 +57,12 @@ _ABLATE_COLLECTIVES = False
 
 
 def ablate_collectives(enabled: bool) -> None:
+    """Measurement-only knob (see _ABLATE_COLLECTIVES). Clears jit caches on
+    every flip so stale traces cannot leak across the A/B (ADVICE r04)."""
     global _ABLATE_COLLECTIVES
-    _ABLATE_COLLECTIVES = enabled
+    if enabled != _ABLATE_COLLECTIVES:
+        _ABLATE_COLLECTIVES = enabled
+        jax.clear_caches()
 
 
 def _pp(x, pairs):
@@ -209,6 +213,126 @@ def _chunked_body_fused(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: i
     return main_out, tail_out[None, :]
 
 
+def _chunked_body_fused1(
+    x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int,
+    tile: int,
+):
+    """SINGLE-KERNEL fused chunk body (round 5, VERDICT r04 #1): the whole
+    monolithic phase-vocoder kernel (_pvoc_kernel via fused_stream_segment)
+    runs INSIDE each shard_map shard, instead of the split kernels + XLA
+    glue of _chunked_body_fused — the r04 split body kept only ~1/3 of
+    monolithic per-chip throughput (SCALING_CHIP_r04.json), which made the
+    multi-chip scaling denominator dishonest.
+
+    Applies to INTEGER hop ratios k = Rs/Ra (the headline 2.0x point, and
+    every stretch whose phase propagation telescopes to the closed form
+    P_i = u_0 (u_i conj(u_0))^k): the per-device kernel then needs NO
+    serial cross-device phase state at all — only the global anchor phasor
+    u_0, one tiny all_gather. Communication per device: the input halo
+    ppermute (N - Ra samples), the anchor all_gather (2 x nbq floats), and
+    the OLA tail ppermute ((m-1) x rs floats). Non-integer k keeps the
+    split body (its in-kernel scan cannot accept a cross-device prefix
+    carry after the fact).
+
+    Normalization: every device runs with the INTERIOR table (the stream
+    kernel's continuing-segment mode), so main rows and exchanged tail
+    rows share the same per-lane scale and add linearly; device 0 then
+    applies the head-row correction, and the global tail fix happens in
+    the caller exactly as in the monolithic assembly (the caller sizes
+    F so the nf..nf+m-2 spill rows land inside the last device's span).
+    """
+    from ..ops.pallas.fused import (
+        _PRECISION,
+        _packed_mats,
+        _pad_bins,
+        fused_stream_segment,
+        stream_norm_tables,
+    )
+
+    n, ra = cfg.n_fft, cfg.hop
+    m = n // rs
+    nbq = _pad_bins(n // 2)
+    d = jax.lax.axis_index("seq")
+    left = [(i, i - 1) for i in range(1, D)]
+    right = [(i, i + 1) for i in range(D - 1)]
+
+    # --- input halo (same pattern as the split bodies)
+    halo = _pp(x_sh[: n - ra], left)
+    halo = jnp.where(d == D - 1, x_tail, halo)
+
+    # --- global anchor phasor u_0: frame 0 through the packed windowed
+    # DFT (full-precision XLA matmul — one (1, N) row, negligible), then
+    # device 0's broadcast. All devices use the broadcast anchor (the
+    # stream kernel runs with started=1), so the closed form is globally
+    # consistent; it matches the in-kernel fold DFT to f32 round-off,
+    # which perturbs P by ~(1+k) ulp — far under the gate.
+    fcq, fsq, _, _ = _packed_mats(n)
+    fr0 = x_sh[None, :n]
+    re0 = jnp.dot(fr0, jnp.asarray(fcq), precision=_PRECISION)
+    im0 = jnp.dot(fr0, jnp.asarray(fsq), precision=_PRECISION)
+    n2 = re0 * re0 + im0 * im0
+    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+    safe = n2 > 1e-30
+    u0_local = jnp.concatenate(
+        [jnp.where(safe, re0 * inv, 1.0), jnp.where(safe, im0 * inv, 0.0)]
+    )  # (2, nbq)
+    u0 = _ag(u0_local)[0]  # device 0's anchor
+    carry = jnp.zeros((4, nbq), jnp.float32).at[:2].set(u0).at[2].set(1.0)
+
+    # --- the whole pipeline, one kernel per shard
+    pad = tile * ra - (n - ra)
+    rows = jnp.concatenate(
+        [x_sh, halo, jnp.zeros((pad,), x_sh.dtype)]
+    ).reshape(F + tile, ra)
+    fmask = ((d * F + jnp.arange(F)) < nf).astype(jnp.float32)[:, None]
+    first_tbl, cont_tbl = stream_norm_tables(n, rs)
+    out, _carry_out, tail_out = fused_stream_segment(
+        rows,
+        carry,
+        jnp.zeros((m - 1, rs), jnp.float32),
+        jnp.ones((), jnp.int32),  # started: anchor comes preloaded
+        (d * F).astype(jnp.int32),  # global frame offset (Nyquist parity)
+        fmask,
+        jnp.asarray(cont_tbl),
+        n,
+        ra,
+        rs,
+        tile=tile,
+    )
+
+    # --- OLA tail exchange: my spill adds into my right neighbor's head
+    # (both interior-normalized — same per-lane scale, linear add).
+    recv = _pp(tail_out, right)  # zeros at d = 0
+    head = out[: m - 1] + recv
+    corr = jnp.asarray(first_tbl[: m - 1] / cont_tbl[: m - 1])
+    head = jnp.where(d == 0, head * corr, head)
+    return jnp.concatenate([head, out[m - 1 :]], axis=0)  # (F, rs)
+
+
+def _fused1_ok(cfg: PvocConfig, rs: int) -> bool:
+    """Single-kernel chunk body: integer k with the exact-fold layout."""
+    return _fused_chunk_ok(cfg, rs) and rs % cfg.hop == 0
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _chunked_fused1_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
+    D = mesh.shape["seq"]
+    from ..ops.pallas.fused import _pick_tile
+
+    tile = min(_pick_tile(cfg.n_fft, rs, F), F)
+    body = functools.partial(
+        _chunked_body_fused1, nf=nf, cfg=cfg, rs=rs, F=F, D=D, tile=tile
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("seq"), P()),
+        out_specs=P("seq"),
+        check_vma=False,
+    )
+    return fn(x_main, x_tail)
+
+
 def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     """Per-device chunk program (runs inside shard_map over axis 'seq').
 
@@ -302,11 +426,19 @@ def _chunked_body(x_sh, x_tail, nf, cfg: PvocConfig, rs: int, F: int, D: int):
     return main_out, tail_out[None, :]
 
 
+def _fused_chunk_ok(cfg: PvocConfig, rs: int) -> bool:
+    """The fused chunk bodies ride the split synthesis kernel
+    (phasor_istft_ola), which keeps the exact-fold rs | n_fft layout."""
+    from ..ops.pallas.fused import fold_ola_supported
+
+    return pipeline.fused_ok(cfg, rs) and fold_ola_supported(cfg.n_fft, rs)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
     D = mesh.shape["seq"]
     body_fn = (
-        _chunked_body_fused if pipeline.fused_ok(cfg, rs) else _chunked_body
+        _chunked_body_fused if _fused_chunk_ok(cfg, rs) else _chunked_body
     )
     body = functools.partial(body_fn, nf=nf, cfg=cfg, rs=rs, F=F, D=D)
     # check_vma=False: the interpret-mode pallas kernels do internal
@@ -408,7 +540,7 @@ def _batched_chunked_jit(x_main, x_tail, nf, cfg, rs, F, mesh):
     """DP x SP: batch axis on mesh 'data', time-chunk axis on mesh 'seq'."""
     D = mesh.shape["seq"]
 
-    if pipeline.fused_ok(cfg, rs):
+    if _fused_chunk_ok(cfg, rs):
         body = functools.partial(
             _chunked_body_fused_batch, nf=nf, cfg=cfg, rs=rs, F=F, D=D
         )
@@ -499,6 +631,33 @@ def chunked_time_stretch(
     if mesh is None:
         mesh = make_mesh(axis="seq")
     D = mesh.shape["seq"]
+
+    if _fused1_ok(cfg, rs):
+        # Single-kernel body (integer k): F is tile-aligned and sized so
+        # the nf..nf+m-2 OLA spill rows land inside the last device's span
+        # (the monolithic output layout, assembled across shards).
+        from ..ops.pallas.fused import _ola_norm_tables, _pick_tile
+
+        m = n // rs
+        F_needed = -(-(nf + m - 1) // D)
+        t0 = _pick_tile(n, rs, nf)
+        if F_needed >= t0:
+            F = -(-F_needed // t0) * t0
+        else:
+            F = max(8, -(-F_needed // 8) * 8)
+        if (D == 1 and not force) or F < min_frames_per_device(cfg, rs):
+            return pipeline.time_stretch(x, stretch, cfg)
+        span = F * D * ra
+        full = jnp.pad(x, (0, max(0, span + (n - ra) - x.shape[-1])))
+        x_main, x_tail = full[:span], full[span : span + (n - ra)]
+        rows = _chunked_fused1_jit(
+            x_main, x_tail, nf, cfg, rs, F, mesh
+        )  # (D*F, rs), interior-normalized, spill rows past nf
+        m_full, tail_inv = _ola_norm_tables(n, rs)
+        fix = jnp.asarray(tail_inv / m_full[m - 1 : m])
+        tail = rows[nf : nf + m - 1] * fix
+        out = jnp.concatenate([rows[:nf].reshape(-1), tail.reshape(-1)])
+        return out[: framing.output_length(nf, n, rs)]
 
     F = -(-nf // D)
     if (D == 1 and not force) or F < min_frames_per_device(cfg, rs):

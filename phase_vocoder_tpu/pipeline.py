@@ -228,6 +228,7 @@ def time_stretch(
     stretch: float,
     cfg: PvocConfig = PvocConfig(),
     max_monolithic_frames: int = 4096,
+    max_phasor_general_frames: int = 1 << 18,
 ) -> jnp.ndarray:
     """Time-scale-modify a 1-D waveform by `stretch` (duration multiplier).
 
@@ -236,6 +237,14 @@ def time_stretch(
     `max_monolithic_frames` (~65 s at 16 kHz/256 hop) route through the
     streaming segmented executor, whose compile cost is constant in length
     (XLA compile time grows superlinearly with the monolithic graph).
+
+    The fused single-kernel path is exempt from the reroute: its compile
+    cost AND live memory are length-independent (samples in, waveform out,
+    VMEM intermediates only). The SEMI-fused phasor path is exempt only up
+    to `max_phasor_general_frames` (~70 min at 16 kHz/256 hop): it
+    materializes five (nf_pad, 640) f32 phasor-term tensors plus the
+    (nf, n_fft) frames in HBM, so unbounded inputs would OOM where the
+    streaming executor runs in bounded memory (ADVICE r04).
     """
     dtype = jnp.dtype(cfg.dtype)
     x = jnp.asarray(x, dtype=dtype)
@@ -243,17 +252,14 @@ def time_stretch(
     nf = framing.num_frames(x.shape[-1], cfg.n_fft, cfg.hop)
     if nf <= 0:
         return jnp.zeros((0,), dtype=dtype)
-    # The fused/semi-fused phasor paths' compile cost is length-independent
-    # (Pallas kernels + flat fold OLA), so they never need the streaming
-    # reroute.
-    if (
-        nf > max_monolithic_frames
-        and not fused_ok(cfg, rs)
-        and not phasor_general_ok(cfg, rs)
-    ):
-        from . import streaming
+    if not fused_ok(cfg, rs) and nf > max_monolithic_frames:
+        general_ok = (
+            phasor_general_ok(cfg, rs) and nf <= max_phasor_general_frames
+        )
+        if not general_ok:
+            from . import streaming
 
-        return streaming.stream_time_stretch(x, stretch, cfg)
+            return streaming.stream_time_stretch(x, stretch, cfg)
     return _time_stretch_jit(x, cfg, rs)
 
 

@@ -284,7 +284,7 @@ def fused_init_state(n_fft: int, rs: int) -> FusedStreamState:
     from .ops.pallas.stft import _pad_bins
 
     nbq = _pad_bins(n_fft // 2)
-    m = n_fft // rs
+    m = -(-n_fft // rs)
     carry = jnp.zeros((4, nbq), jnp.float32)
     carry = carry.at[0].set(1.0).at[2].set(1.0)  # identity phasors
     return FusedStreamState(
@@ -299,7 +299,7 @@ def fused_plan_segments(nf: int, n_fft: int, rs: int, segment_frames: int,
                         tile: int) -> tuple[int, int]:
     """(F, S): F a multiple of tile; S·F >= nf + m - 1 so the final OLA
     spill drains into ordinary output rows (the monolithic layout)."""
-    m = n_fft // rs
+    m = -(-n_fft // rs)
     F = max(tile, (segment_frames // tile) * tile)
     S = -(-(nf + m - 1) // F)
     return F, S
@@ -325,7 +325,7 @@ def _fused_scan_from(
         stream_norm_tables,
     )
 
-    m = n_fft // rs
+    m = -(-n_fft // rs)
     tile = _pick_tile(n_fft, rs, F)
     first, cont = stream_norm_tables(n_fft, rs)
     head_tbl = jnp.asarray(first)
@@ -400,7 +400,7 @@ def _fused_stream_full(x, nf: int, n_fft: int, hop: int, rs: int,
                        segment_frames: int):
     from .ops.pallas.fused import _ola_norm_tables, _pick_tile
 
-    m = n_fft // rs
+    m = -(-n_fft // rs)
     tile = _pick_tile(n_fft, rs, nf)
     F, S = fused_plan_segments(nf, n_fft, rs, segment_frames, tile)
     rows_all = fused_stream_rows(x, n_fft, hop, F, S, tile)

@@ -225,7 +225,7 @@ def checkpointed_fused_stream_time_stretch(
     if not pipeline.fused_ok(cfg, rs):
         raise ValueError("checkpointed fused stream requires fused-kernel geometry")
     n, ra = cfg.n_fft, cfg.hop
-    m = n // rs
+    m = -(-n // rs)
     nf = framing.num_frames(x.shape[-1], n, ra)
     if nf <= 0:
         return jnp.zeros((0,), dtype=dtype)
