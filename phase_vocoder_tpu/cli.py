@@ -60,6 +60,15 @@ def _add_dsp_args(p: argparse.ArgumentParser) -> None:
         "--phase-method", choices=["wrapped_scan", "cumsum"], default="wrapped_scan",
         help="drift-free wrapped associative scan (default) or naive cumsum",
     )
+    p.add_argument(
+        "--branch-policy", choices=["auto", "fast", "faithful"], default="auto",
+        help="non-integer hop ratios only: 'auto' (default) reroutes "
+        "recordings past ~10 min to the branch-faithful polar path "
+        "(tracks the f64 oracle's princarg branch choices to ~1e-6 on "
+        "branch-dense content where the phasor kernels read ~0.24 — "
+        "ACCURACY_r05); 'fast' always uses the phasor kernels; "
+        "'faithful' always uses the polar path for q >= 2",
+    )
 
 
 def _cfg(args) -> PvocConfig:
@@ -116,7 +125,10 @@ def _run_stretch(args) -> int:
                 x, args.ratio, _cfg(args), segment_frames=args.segment_frames
             ))
         else:
-            y = np.asarray(time_stretch(x, args.ratio, _cfg(args)))
+            y = np.asarray(time_stretch(
+                x, args.ratio, _cfg(args),
+                branch_policy=args.branch_policy,
+            ))
     dt = time.perf_counter() - t0
     write_wav(args.output, y, sr, pcm16=not args.float32)
     emit_metric("audio_seconds_per_second", audio_seconds_per_second(len(x), sr, dt),
@@ -128,7 +140,9 @@ def _run_pitch(args) -> int:
     from .pipeline import pitch_shift
 
     x, sr = read_wav(args.input)
-    y = np.asarray(pitch_shift(x, args.semitones, _cfg(args)))
+    y = np.asarray(pitch_shift(
+        x, args.semitones, _cfg(args), branch_policy=args.branch_policy
+    ))
     write_wav(args.output, y, sr, pcm16=not args.float32)
     return 0
 

@@ -223,12 +223,27 @@ def _time_stretch_jit(x: jnp.ndarray, cfg: PvocConfig, rs: int) -> jnp.ndarray:
     return synthesize_polar(mag, psi, cfg, rs)
 
 
+# Frame count above which "auto" branch policy reroutes q >= 2 hop ratios
+# to the branch-faithful polar path: ~600 s at 16 kHz / 256 hop — the
+# shortest length at which the fused phasor paths have been measured over
+# the 1e-4 gate on branch-dense content (ACCURACY_r05: fused 0.24 vs
+# polar 5.4e-7 on the 600 s aliasing sweep; both ~1e-5 at 60 s).
+BRANCH_FAITHFUL_FRAMES = 37_500
+
+
+def _reduced_q(cfg: PvocConfig, rs: int) -> int:
+    from .ops.pallas.fused import _rational_k
+
+    return _rational_k(rs, cfg.hop)[1]
+
+
 def time_stretch(
     x,
     stretch: float,
     cfg: PvocConfig = PvocConfig(),
     max_monolithic_frames: int = 4096,
     max_phasor_general_frames: int = 1 << 18,
+    branch_policy: str = "auto",
 ) -> jnp.ndarray:
     """Time-scale-modify a 1-D waveform by `stretch` (duration multiplier).
 
@@ -245,6 +260,21 @@ def time_stretch(
     materializes five (nf_pad, 640) f32 phasor-term tensors plus the
     (nf, n_fft) frames in HBM, so unbounded inputs would OOM where the
     streaming executor runs in bounded memory (ADVICE r04).
+
+    branch_policy governs NON-integer hop ratios (q >= 2, e.g. stretch
+    0.5 / 1.5 / non-octave pitch hops), whose princarg branch decisions
+    the phasor-form kernels resolve in a different rounding pattern from
+    the f64 golden — harmless on typical content, but on branch-dense
+    signals (aliasing sweeps) isolated pi-flips accumulate past the 1e-4
+    gate beyond ~10 min (ACCURACY_r05 experiment: fused 0.24 vs golden at
+    600 s where the angle-domain polar path reads 5.4e-7 — the polar
+    formula mirrors the golden's branch choices op-for-op). "auto"
+    (default) reroutes q >= 2 inputs longer than BRANCH_FAITHFUL_FRAMES
+    to the branch-faithful polar streaming executor (~3x the fused path's
+    wall on those inputs — measured in PROFILE_r05); "faithful" always
+    routes q >= 2 there; "fast" never reroutes (bounded-drift phasor
+    kernels at full speed). Integer k is exempt: the closed form has no
+    branch cuts and is gate-clean at every measured length.
     """
     dtype = jnp.dtype(cfg.dtype)
     x = jnp.asarray(x, dtype=dtype)
@@ -252,6 +282,15 @@ def time_stretch(
     nf = framing.num_frames(x.shape[-1], cfg.n_fft, cfg.hop)
     if nf <= 0:
         return jnp.zeros((0,), dtype=dtype)
+    if branch_policy not in ("auto", "fast", "faithful"):
+        raise ValueError(f"unknown branch_policy {branch_policy!r}")
+    if _reduced_q(cfg, rs) > 1 and (
+        branch_policy == "faithful"
+        or (branch_policy == "auto" and nf > BRANCH_FAITHFUL_FRAMES)
+    ):
+        from . import streaming
+
+        return streaming.stream_time_stretch(x, stretch, cfg)
     if not fused_ok(cfg, rs) and nf > max_monolithic_frames:
         general_ok = (
             phasor_general_ok(cfg, rs) and nf <= max_phasor_general_frames
@@ -288,10 +327,17 @@ def _pitch_shift_jit(x, cfg: PvocConfig, rs: int, factor: float, out_len: int):
     return resample_linear(y, 1.0 / factor, out_len)
 
 
-def pitch_shift(x, semitones: float, cfg: PvocConfig = PvocConfig()) -> jnp.ndarray:
+def pitch_shift(
+    x,
+    semitones: float,
+    cfg: PvocConfig = PvocConfig(),
+    branch_policy: str = "auto",
+) -> jnp.ndarray:
     """Pitch-shift by `semitones` via time-stretch + resample (C12 parity).
 
-    Duration is preserved; pitch moves by 2^(semitones/12).
+    Duration is preserved; pitch moves by 2^(semitones/12). branch_policy
+    as in time_stretch: long q >= 2 inputs reroute the stretch stage to
+    the branch-faithful polar streaming executor.
     """
     dtype = jnp.dtype(cfg.dtype)
     x = jnp.asarray(x, dtype=dtype)
@@ -301,4 +347,18 @@ def pitch_shift(x, semitones: float, cfg: PvocConfig = PvocConfig()) -> jnp.ndar
     if stretched_len <= 0:
         return jnp.zeros((0,), dtype=dtype)
     out_len = int(round(stretched_len / factor))
+    nf = framing.num_frames(x.shape[-1], cfg.n_fft, cfg.hop)
+    if _reduced_q(cfg, rs) > 1 and (
+        branch_policy == "faithful"
+        or (branch_policy == "auto" and nf > BRANCH_FAITHFUL_FRAMES)
+    ):
+        from . import streaming
+
+        y = streaming.stream_time_stretch(x, factor, cfg)
+        return _resample_jit(y, factor, out_len)
     return _pitch_shift_jit(x, cfg, rs, factor, out_len)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _resample_jit(y, factor: float, out_len: int):
+    return resample_linear(y, 1.0 / factor, out_len)

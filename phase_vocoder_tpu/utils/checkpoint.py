@@ -23,6 +23,34 @@ from ..config import PvocConfig
 from ..ops import framing
 from .. import streaming
 
+def _encode_part_device(out: jnp.ndarray, part_dtype: str) -> jnp.ndarray:
+    """Device-side output encoding BEFORE the host fetch (VERDICT r04 #9:
+    the checkpointed-stream wall is device->host bytes over the remote
+    tunnel — ~134 MB/batch at f32). 'bfloat16' and 'int16' halve the fetch
+    volume; both are lossy (bf16: 8-bit mantissa; int16: PCM quantization
+    + clip at +-1), so 'float32' stays the default, which keeps resume
+    bitwise-identical to the uninterrupted f32 run."""
+    if part_dtype == "float32":
+        return out
+    if part_dtype == "bfloat16":
+        return out.astype(jnp.bfloat16)
+    if part_dtype == "int16":
+        return jnp.clip(
+            jnp.round(out * 32767.0), -32768.0, 32767.0
+        ).astype(jnp.int16)
+    raise ValueError(f"unknown part_dtype {part_dtype!r}")
+
+
+def _decode_part(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype == np.int16:
+        return arr.astype(np.float32) / 32767.0
+    if arr.dtype == np.uint16:  # bfloat16 bits (np.save-safe storage)
+        import ml_dtypes
+
+        return arr.view(ml_dtypes.bfloat16).astype(np.float32)
+    return np.asarray(arr, np.float32)
+
+
 def _state_to_tree(state: streaming.StreamState) -> dict:
     return {f.name: getattr(state, f.name) for f in dataclasses.fields(state)}
 
@@ -73,7 +101,10 @@ class StreamCheckpointer:
                    state: streaming.StreamState) -> None:
         part = os.path.join(self.directory, f"part_{batch:06d}.npy")
         tmp = part + ".tmp.npy"
-        np.save(tmp, np.asarray(out))
+        arr = np.asarray(out)
+        if arr.dtype.name == "bfloat16":
+            arr = arr.view(np.uint16)  # np.save-safe bf16 bit container
+        np.save(tmp, arr)
         os.replace(tmp, part)
         ckptr = self._orbax()
         state_dir = os.path.join(self.directory, f"state_{batch:06d}")
@@ -118,7 +149,11 @@ class StreamCheckpointer:
     def load_parts(self, up_to_batch: int) -> list[np.ndarray]:
         parts = []
         for b in range(up_to_batch + 1):
-            parts.append(np.load(os.path.join(self.directory, f"part_{b:06d}.npy")))
+            parts.append(
+                _decode_part(
+                    np.load(os.path.join(self.directory, f"part_{b:06d}.npy"))
+                )
+            )
         return parts
 
 
@@ -129,6 +164,7 @@ def checkpointed_stream_time_stretch(
     checkpoint_dir: str = "pvoc_ckpt",
     segment_frames: int = streaming.DEFAULT_SEGMENT_FRAMES,
     batch_segments: int = 8,
+    part_dtype: str = "float32",
     _fail_after_batches: int | None = None,
 ) -> jnp.ndarray:
     """stream_time_stretch with segment-batch checkpointing.
@@ -136,6 +172,12 @@ def checkpointed_stream_time_stretch(
     Re-running after a crash resumes at the last completed batch and returns
     the identical waveform. `_fail_after_batches` is a fault-injection hook
     for tests (raises after N batches, mimicking preemption).
+
+    part_dtype: on-disk/fetch dtype of the output parts — 'float32'
+    (default, bitwise resume), 'bfloat16' or 'int16' (half the
+    device->host fetch volume; lossy — see _encode_part_device). Batch
+    b's fetch+save overlaps batch b+1's device compute (one-deep
+    pipeline): the save of b is still the commit point for resume.
     """
     dtype = jnp.dtype(cfg.dtype)
     x = jnp.asarray(x, dtype=dtype)
@@ -148,13 +190,17 @@ def checkpointed_stream_time_stretch(
 
     ck = StreamCheckpointer(checkpoint_dir)
     meta = {"nf": nf, "F": F, "S": S, "rs": rs, "stretch": stretch,
-            "n_fft": cfg.n_fft, "hop": cfg.hop, "batch_segments": batch_segments}
+            "n_fft": cfg.n_fft, "hop": cfg.hop,
+            "batch_segments": batch_segments, "part_dtype": part_dtype}
     existing = ck.read_manifest()
-    if existing is not None and existing != meta:
-        raise ValueError(
-            f"checkpoint dir {checkpoint_dir!r} holds a different run: "
-            f"{existing} != {meta}"
-        )
+    if existing is not None:
+        mig = dict(existing)
+        mig.setdefault("part_dtype", "float32")  # pre-r05 checkpoints
+        if mig != meta:
+            raise ValueError(
+                f"checkpoint dir {checkpoint_dir!r} holds a different run: "
+                f"{existing} != {meta}"
+            )
     ck.write_manifest(meta)
 
     latest = ck.latest()
@@ -167,6 +213,7 @@ def checkpointed_stream_time_stretch(
 
     n_batches = -(-S // batch_segments)
     done = 0
+    pending = None  # (batch, encoded device array, state) awaiting fetch+save
     for batch in range(next_batch, n_batches):
         s0 = batch * batch_segments
         count = min(batch_segments, S - s0)
@@ -174,7 +221,17 @@ def checkpointed_stream_time_stretch(
         out, state = streaming._stream_scan_from(
             x_pad, state, nf, cfg, rs, F, count
         )
-        ck.save_batch(batch, np.asarray(out), state)
+        enc = _encode_part_device(out, part_dtype)
+        if pending is not None:
+            pb, penc, pstate = pending
+            ck.save_batch(pb, np.asarray(penc), pstate)
+            done += 1
+            if _fail_after_batches is not None and done >= _fail_after_batches:
+                raise RuntimeError(f"injected failure after {done} batches")
+        pending = (batch, enc, state)
+    if pending is not None:
+        pb, penc, pstate = pending
+        ck.save_batch(pb, np.asarray(penc), pstate)
         done += 1
         if _fail_after_batches is not None and done >= _fail_after_batches:
             raise RuntimeError(f"injected failure after {done} batches")
@@ -208,13 +265,16 @@ def checkpointed_fused_stream_time_stretch(
     checkpoint_dir: str = "pvoc_ckpt",
     segment_frames: int = streaming.DEFAULT_FUSED_SEGMENT_FRAMES,
     batch_segments: int = 8,
+    part_dtype: str = "float32",
     _fail_after_batches: int | None = None,
 ) -> jnp.ndarray:
     """fused_stream_time_stretch with segment-batch checkpointing.
 
     Same contract as checkpointed_stream_time_stretch, riding the fused
     phasor kernel (bitwise identical to the monolithic fused path): resume
-    after a crash returns the identical waveform.
+    after a crash returns the identical waveform. part_dtype and the
+    one-deep fetch/compute pipeline as in checkpointed_stream_time_stretch
+    (VERDICT r04 #9: the wall is tunnel fetch bytes).
     """
     from .. import pipeline
     from ..ops.pallas.fused import _ola_norm_tables, _pick_tile
@@ -236,13 +296,16 @@ def checkpointed_fused_stream_time_stretch(
     ck = StreamCheckpointer(checkpoint_dir)
     meta = {"nf": nf, "F": F, "S": S, "rs": rs, "stretch": stretch,
             "n_fft": n, "hop": ra, "batch_segments": batch_segments,
-            "kind": "fused"}
+            "kind": "fused", "part_dtype": part_dtype}
     existing = ck.read_manifest()
-    if existing is not None and existing != meta:
-        raise ValueError(
-            f"checkpoint dir {checkpoint_dir!r} holds a different run: "
-            f"{existing} != {meta}"
-        )
+    if existing is not None:
+        mig = dict(existing)
+        mig.setdefault("part_dtype", "float32")
+        if mig != meta:
+            raise ValueError(
+                f"checkpoint dir {checkpoint_dir!r} holds a different run: "
+                f"{existing} != {meta}"
+            )
     ck.write_manifest(meta)
 
     found = ck.latest_tree()
@@ -256,13 +319,24 @@ def checkpointed_fused_stream_time_stretch(
 
     n_batches = -(-S // batch_segments)
     done = 0
+    pending = None
     for batch in range(next_batch, n_batches):
         s0 = batch * batch_segments
         count = min(batch_segments, S - s0)
         out, state = streaming._fused_scan_from(
             rows_all, state, nf, n, ra, rs, F, count
         )
-        ck.save_batch(batch, np.asarray(out), state)
+        enc = _encode_part_device(out, part_dtype)
+        if pending is not None:
+            pb, penc, pstate = pending
+            ck.save_batch(pb, np.asarray(penc), pstate)
+            done += 1
+            if _fail_after_batches is not None and done >= _fail_after_batches:
+                raise RuntimeError(f"injected failure after {done} batches")
+        pending = (batch, enc, state)
+    if pending is not None:
+        pb, penc, pstate = pending
+        ck.save_batch(pb, np.asarray(penc), pstate)
         done += 1
         if _fail_after_batches is not None and done >= _fail_after_batches:
             raise RuntimeError(f"injected failure after {done} batches")

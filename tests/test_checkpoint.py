@@ -121,3 +121,41 @@ def test_legacy_checkpoint_missing_pair_lo_restores(tmp_path, x8s):
     }
     state = _tree_to_state(tree)
     assert np.array_equal(np.asarray(state.psi_carry_lo), np.zeros(513))
+
+
+@pytest.mark.parametrize("part_dtype", ["bfloat16", "int16"])
+def test_compact_part_dtypes_resume_consistent(tmp_path, x8s, part_dtype):
+    """Half-size output parts (VERDICT r04 #9: tunnel fetch volume): lossy
+    vs f32 but resume-consistent — an interrupted+resumed run returns the
+    same waveform as an uninterrupted run at the SAME part_dtype, and both
+    stay within the encoding's own error of the f32 result."""
+    from phase_vocoder_tpu.utils.checkpoint import (
+        checkpointed_fused_stream_time_stretch,
+    )
+
+    cfg = PvocConfig(fft_backend="pallas")
+    kw = dict(segment_frames=64, batch_segments=2, part_dtype=part_dtype)
+    d1 = str(tmp_path / "a")
+    y_full = np.asarray(checkpointed_fused_stream_time_stretch(
+        x8s, 2.0, cfg, checkpoint_dir=d1, **kw))
+    d2 = str(tmp_path / "b")
+    with pytest.raises(RuntimeError, match="injected"):
+        checkpointed_fused_stream_time_stretch(
+            x8s, 2.0, cfg, checkpoint_dir=d2, _fail_after_batches=1, **kw)
+    y_res = np.asarray(checkpointed_fused_stream_time_stretch(
+        x8s, 2.0, cfg, checkpoint_dir=d2, **kw))
+    np.testing.assert_array_equal(y_full, y_res)
+    y_f32 = np.asarray(checkpointed_fused_stream_time_stretch(
+        x8s, 2.0, cfg, checkpoint_dir=str(tmp_path / "c"),
+        segment_frames=64, batch_segments=2))
+    tol = 1e-2 if part_dtype == "bfloat16" else 1e-4
+    # Interior only: the last few samples legitimately blow up (OLA edge
+    # window-norm -> eps clamp). int16 additionally CLIPS legitimate
+    # stretch overshoot past +-1.0 (documented PCM16 caveat), so its
+    # quantization bound applies only where |y| < 1.
+    sl = slice(1024, len(y_full) - 1024)
+    a, b = y_full[sl], y_f32[sl]
+    if part_dtype == "int16":
+        keep = np.abs(b) < 1.0
+        a, b = a[keep], b[keep]
+    assert np.max(np.abs(a - b)) < tol

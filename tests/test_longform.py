@@ -156,3 +156,63 @@ def test_streaming_and_chunked_golden_one_hour():
     )
     e_c = rel_err(y_c, ref)
     assert e_c < 1e-4, e_c
+
+
+def _benign_tones_noise(seconds: float, sr: int = 16000) -> np.ndarray:
+    """Tones + noise WITHOUT the aliasing chirp: the canonical signal's
+    chirp wraps the Nyquist every ~10 s, making >=600 s slices maximally
+    branch-dense (every bin crosses the princarg branch repeatedly). This
+    is the benign long-form content the tight gates run on."""
+    g = np.random.default_rng(7)
+    t = np.arange(int(seconds * sr)) / sr
+    x = (
+        0.5 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.3 * np.sin(2 * np.pi * 1234.5 * t)
+        + 0.05 * g.standard_normal(len(t))
+    )
+    return (x / np.max(np.abs(x))).astype(np.float64)
+
+
+@pytest.mark.skipif(not SLOW, reason="set PVOC_SLOW_TESTS=1 (minutes)")
+def test_fused_golden_ten_minutes_halfk_benign():
+    """TIGHT <1e-4 gate for k=1/2 at 600 s on benign tones+noise content
+    (ADVICE r04: the correlation gate on the aliasing sweep alone left
+    long-form 0.5x only weakly gated; chip-measured 3.8e-5 in
+    ACCURACY_r04, and branch-dense content auto-reroutes to the
+    branch-faithful polar path — pipeline.BRANCH_FAITHFUL_FRAMES)."""
+    import jax.numpy as jnp
+
+    x = _benign_tones_noise(600.0).astype(np.float32)
+    ref = pv_ref.phase_vocoder(np.asarray(x, np.float64), 0.5, N, RA)
+    y = np.asarray(fused_time_stretch(jnp.asarray(x), N, RA, 128))
+    e = rel_err(y, ref)
+    assert e < 1e-4, e
+
+
+def test_branch_faithful_routing():
+    """branch_policy='faithful' reroutes q>=2 stretches to the polar
+    streaming executor (the path measured at ~5e-7 vs golden on the 600 s
+    sweep where the phasor kernels read ~0.24 — ACCURACY_r05); 'fast'
+    keeps the fused kernel; integer k never reroutes."""
+    from phase_vocoder_tpu import pipeline
+    from phase_vocoder_tpu.streaming import stream_time_stretch
+
+    x = make_test_signal(4.0).astype(np.float32)
+    cfg = PvocConfig(fft_backend="pallas")
+    ref = pv_ref.phase_vocoder(np.asarray(x, np.float64), 0.5, N, RA)
+
+    y_faith = np.asarray(
+        pipeline.time_stretch(x, 0.5, cfg, branch_policy="faithful")
+    )
+    y_stream = np.asarray(stream_time_stretch(x, 0.5, cfg))
+    np.testing.assert_array_equal(y_faith, y_stream)
+    assert rel_err(y_faith, ref) < 1e-4
+
+    y_fast = np.asarray(
+        pipeline.time_stretch(x, 0.5, cfg, branch_policy="fast")
+    )
+    assert rel_err(y_fast, ref) < 1e-4
+    # integer k: 'faithful' is a no-op (closed form has no branch cuts)
+    a = np.asarray(pipeline.time_stretch(x, 2.0, cfg, branch_policy="faithful"))
+    b = np.asarray(pipeline.time_stretch(x, 2.0, cfg, branch_policy="fast"))
+    np.testing.assert_array_equal(a, b)
