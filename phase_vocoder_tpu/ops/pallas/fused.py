@@ -148,18 +148,27 @@ def _build_frames(rows_a, rows_b, tile: int, overlap: int):
     return jnp.concatenate(parts, axis=-1)
 
 def _pick_tile(n_fft: int, rs: int, nf: int) -> int:
-    """Frames per grid step for the single-kernel path: 256.
+    """Frames per grid step for the single-kernel path.
 
-    r04 re-sweep on the reworked kernel (PROFILE_r04.json): 256 is the
-    robust optimum — 320/384/448/512 measured within or below one
-    session's noise band of it, and cross-session deltas up to 7% of a
-    94 ms call turned out to be remote-tunnel dispatch variance, not
-    kernel speed (see PROFILE_r04 `dispatch_overhead`; bench.py amortizes
-    it by chaining invocations per dispatch). 384 additionally trips
-    Mosaic's grid-count-dependent scoped-VMEM limit at some lengths
-    (r03). The split kernels keep stft._TILE_F=128 (layouts shared with
+    256 at the canonical N<=1024: the r04 re-sweep (PROFILE_r04.json)
+    showed 256 is the robust optimum — 320/384/448/512 measured within or
+    below one session's noise band of it, and cross-session deltas up to
+    7% of a 94 ms call turned out to be remote-tunnel dispatch variance,
+    not kernel speed (see PROFILE_r04 `dispatch_overhead`; bench.py
+    amortizes it by chaining invocations per dispatch). 384 additionally
+    trips Mosaic's grid-count-dependent scoped-VMEM limit at some lengths
+    (r03). Larger N scales the tile down to hold the VMEM working set
+    (~tile x n_fft frame block + DFT matrices) constant: tile 256 at
+    N=2048 exceeds the 16 MB scoped-VMEM stack limit (measured r05, GEOM
+    runs). The split kernels keep stft._TILE_F=128 (layouts shared with
     the chunk programs)."""
-    return 256
+    if n_fft <= 1024:
+        return 256
+    # Scoped-VMEM stack use grows faster than linearly in n_fft (the frame
+    # block, fold operands, reversal splits, and the m-segment OLA buffers
+    # all widen): tile 128 at N=2048 still measured 19.4M > the 16M limit
+    # (r05 GEOM), tile 64 compiles.
+    return max(16, (256 * 1024 * 1024 // (n_fft * n_fft)) // 8 * 8)
 
 
 def phasor_supported(n_fft: int, ra: int, rs: int, max_int_k: int = 8) -> bool:

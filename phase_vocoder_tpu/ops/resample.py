@@ -37,17 +37,19 @@ import numpy as np
 _BLOCK = 1024  # positions-precision block (f64 host starts)
 # Rows per grid step of the strided-select kernel; sweepable on chip (the
 # r03 kernel was grid-overhead-bound at small B — more rows per step
-# amortize it; VMEM use is R*(Sp+3B)*4 bytes).
-_SEL_ROWS = 32
-# Select implementation: "roll2" (default, round 5) = per-(row, chunk)
-# DYNAMIC pltpu.roll alignment (the base offset of each 128-lane output
-# chunk, read from SMEM) followed by a SHORT static select loop over the
-# chunk-local carry range only (~ceil(128*|step-c|) rolls instead of
-# ~B*|step-c| + superblock drift: 47 vs 238 at step 1.335) — ~4x less
-# roll work per output. "roll" = the r04 single-level K+1 rotations;
-# "matmul" = per-row one-hot MXU selects (_select_mm_body). All three
-# A/B'd on chip (PITCH_r04/r05 attribution).
-_SEL_IMPL = "roll2"
+# amortize it; VMEM use is R*(Sp+3B)*4 bytes). r05 sweep on the v3 fused
+# kernel: 64 > 32 > 128 (resample_ablate, PROFILE_r05) — per-grid-step
+# fixed overhead is a leading term, 128 trips VMEM pressure.
+_SEL_ROWS = 64
+# Select implementation: "fused" (default, round 5 v3) = positions,
+# carries, lerp weights, per-row alignment (8 static bit-rolls) and the
+# short residual select ALL inside one kernel — no output-length index
+# tensors, no per-row dynamic rolls (_select_body_v3; the r05 attribution
+# showed v2 was bound by XLA index passes + tiny-roll op overhead, not
+# arithmetic). "roll2" = v2 (dynamic per-chunk alignment via SMEM bases);
+# "roll" = the r04 single-level K+1 rotations; "matmul" = per-row one-hot
+# MXU selects. All A/B'd on chip (PITCH_r04/r05, PROFILE_r05).
+_SEL_IMPL = "fused"
 _SEL_MM_ROWS = 8
 # Blocks per superblock in the gather-free span construction (drift
 # absorbed into the select range: K -> K + _SEL_SUPER).
@@ -213,6 +215,123 @@ def _resample_rational_slices(x: jnp.ndarray, p: int, q: int, out_len: int) -> j
     return out[:out_len]
 
 
+@functools.lru_cache(maxsize=32)
+def _fused_sel_consts(factor: float, out_len: int, n: int):
+    """Host-side exact constants for the v3 fused select (all f64 math).
+
+    Everything the kernel needs beyond the span rows: per-block scalars
+    S = start_int - used + OFF (int32) and F = start_frac (f32), the
+    static per-chunk offset vectors V/JF, and the geometry ints.
+    """
+    step = 1.0 / factor
+    B = _SEL_BLOCK
+    CH = _V2_CHUNK
+    nch = B // CH
+    nb = -(-out_len // B)
+    starts64 = np.arange(nb, dtype=np.float64) * (B / factor)
+    start_int = np.floor(starts64).astype(np.int64)
+    start_frac = (starts64 - np.floor(starts64)).astype(np.float32)
+    jo64 = np.arange(B, dtype=np.float64) / factor
+    jo_int = np.floor(jo64).astype(np.int64)
+    jo_frac = (jo64 - np.floor(jo64)).astype(np.float32)
+    c = 1
+    if step >= 1.0:
+        OFF = 0
+        K = int(np.ceil(B * (step - 1.0))) + 3
+    else:
+        OFF = int(np.ceil(B * (1.0 - step))) + 3
+        K = OFF + 3
+    G = _SEL_SUPER
+    stride = max(1, int(np.floor(B * step)))
+    Kp = K + G
+    W = c * (B - 1) + Kp + 1
+    nr = -(-W // stride) + 1
+    n_super = -(-nb // G)
+    sb_len = (G + nr - 1) * stride
+    lo0 = np.clip(start_int, 0, n - 1)  # block starts (jo[0] = 0)
+    nb_pad = n_super * G
+    lo0_p = np.concatenate([lo0, np.full(nb_pad - nb, lo0[-1] if nb else 0)])
+    anchors = lo0_p.reshape(n_super, G)[:, 0]
+    used = (
+        anchors[:, None] + stride * np.arange(G, dtype=np.int64)[None, :]
+    ).reshape(-1)[:nb]
+    S = (start_int - used + OFF).astype(np.int32)[:, None]  # (nb, 1)
+    F = start_frac[:, None]  # (nb, 1)
+    V = (jo_int - c * np.arange(B, dtype=np.int64)).astype(
+        np.int32
+    ).reshape(nch, CH)
+    JF = jo_frac.reshape(nch, CH)
+    K2 = int(np.ceil(CH * abs(step - c))) + 4
+    Wx = -(-(Kp + c * (CH - 1) + K2 + 2) // 128) * 128
+    return dict(
+        B=B, CH=CH, nch=nch, nb=nb, c=c, OFF=OFF, K=K, Kp=Kp, K2=K2,
+        Wx=Wx, G=G, stride=stride, nr=nr, n_super=n_super, sb_len=sb_len,
+        S=S, F=F, V=V, JF=JF, anchors=anchors.astype(np.int32),
+    )
+
+
+def _resample_fused(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
+    """v3 fused strided select: spans from superblocks + ONE kernel doing
+    index math, alignment, and lerp (see _select_body_v3)."""
+    from jax.experimental import pallas as pl
+
+    from .pallas.stft import _interpret, _out_struct
+
+    n = x.shape[-1]
+    cst = _fused_sel_consts(factor, out_len, n)
+    B, CH, nch = cst["B"], cst["CH"], cst["nch"]
+    nb, c, OFF = cst["nb"], cst["c"], cst["OFF"]
+    Kp, K2, Wx = cst["Kp"], cst["K2"], cst["Wx"]
+    stride, nr, n_super, sb_len = (
+        cst["stride"], cst["nr"], cst["n_super"], cst["sb_len"]
+    )
+
+    # Gather-free span construction (superblocks — see the v2 notes).
+    xp = jnp.pad(x, (OFF, sb_len + stride + 1), mode="edge")
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    supers = jax.lax.gather(
+        xp,
+        jnp.asarray(cst["anchors"])[:, None],
+        dnums,
+        slice_sizes=(sb_len,),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (n_super, sb_len)
+    rows = supers.reshape(n_super, cst["G"] + nr - 1, stride)
+    parts = [rows[:, j : j + cst["G"], :] for j in range(nr)]
+    spans = jnp.concatenate(parts, axis=-1).reshape(
+        n_super * cst["G"], nr * stride
+    )[:nb]
+
+    R = _SEL_ROWS
+    nbp = -(-nb // R) * R
+    S_span = nr * stride
+    sp_need = max(S_span, c * CH * (nch - 1) + Wx)
+    Sp = -(-sp_need // 128) * 128
+    spans_p = jnp.pad(spans, ((0, nbp - nb), (0, Sp - S_span)))
+    si = jnp.pad(jnp.asarray(cst["S"]), ((0, nbp - nb), (0, 0)))
+    sf = jnp.pad(jnp.asarray(cst["F"]), ((0, nbp - nb), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _select_body_v3, K2=K2, Kp=Kp, c=c, Wx=Wx
+        ),
+        grid=(nbp // R,),
+        in_specs=[
+            pl.BlockSpec((R, Sp), lambda i: (i, 0)),
+            pl.BlockSpec((R, 1), lambda i: (i, 0)),
+            pl.BlockSpec((R, 1), lambda i: (i, 0)),
+            pl.BlockSpec((nch, CH), lambda i: (0, 0)),
+            pl.BlockSpec((nch, CH), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, B), lambda i: (i, 0)),
+        out_shape=_out_struct((nbp, B), jnp.float32, x),
+        interpret=_interpret(),
+    )(spans_p, si, sf, jnp.asarray(cst["V"]), jnp.asarray(cst["JF"]))
+    return out.reshape(-1)[:out_len]
+
+
 def _resample_strided_select(
     x: jnp.ndarray, factor: float, out_len: int
 ) -> jnp.ndarray:
@@ -227,6 +346,12 @@ def _resample_strided_select(
     """
     n = x.shape[-1]
     step = 1.0 / factor
+    if _SEL_IMPL == "fused" and 0.5 <= step < 2.0:
+        # Every pitch-shift step lands here; the fully fused v3 kernel
+        # (positions + alignment + lerp in VMEM) replaces the v1/v2
+        # paths below, which are kept as parity oracles and for steps
+        # outside [0.5, 2).
+        return _resample_fused(x, factor, out_len)
     B = _SEL_BLOCK
     lo, frac = _positions(factor, out_len, n)
     frac = frac.astype(x.dtype)
@@ -408,6 +533,77 @@ def _select_mm_body(spans_ref, k_ref, fr_ref, out_ref, *, c: int):
 
 
 _V2_CHUNK = 128  # output lanes per dynamically-aligned chunk
+
+
+def _select_body_v3(
+    spans_ref, si_ref, sf_ref, v_ref, jf_ref, out_ref,
+    *, K2: int, Kp: int, c: int, Wx: int
+):
+    """Fully fused strided select: positions, carries, lerp weights, and
+    the two-level alignment ALL in VMEM (round-5 v3).
+
+    The r05 attribution (PROFILE_r05 resample_attr) showed v2 was bound by
+    (a) ~12 XLA element passes building lo/k/frac/bases at output length
+    (31% of wall), and (b) per-(row, chunk) DYNAMIC pltpu.rolls — 128 tiny
+    (1, Sp) ops per grid step whose op overhead, not arithmetic, dominated
+    the kernel (46% of wall at ~12x the elem-op estimate). Here:
+
+      * positions: out[j] of block q reads in-block offset
+        k = S_q + V[j] + carry, frac = F_q + JF[j] - carry, with
+        S_q = start_int_q - used_q + OFF and F_q = start_frac_q exact
+        per-block f64-split scalars (same arithmetic as _positions, so
+        the result matches the gather reference to position ulp), and
+        V/JF static per-chunk vectors — zero HBM-length index tensors.
+      * per-row chunk alignment: the chunk base (min of the monotone k at
+        a static end lane) is applied with 8 STATIC full-width bit-rolls
+        (base < 256: roll by 2^b where bit b of base is set) + masked
+        selects — full-(R, Wx) VPU ops instead of 128 serialized tiny
+        rolls.
+      * the residual k2 in [0, K2) runs the short static select loop.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    sp = spans_ref[:]  # (R, Sp)
+    S = si_ref[:]  # (R, 1) int32: start_int - used + OFF
+    F = sf_ref[:]  # (R, 1) f32: start_frac
+    R = sp.shape[0]
+    CH = _V2_CHUNK
+    nch = out_ref.shape[1] // CH
+    for t in range(nch):
+        At = sp[:, c * CH * t : c * CH * t + Wx]
+        jf = jf_ref[t : t + 1, :]  # (1, CH)
+        vt = v_ref[t : t + 1, :]  # (1, CH) int32
+        loc = F + jf  # in [0, 2)
+        li = jnp.floor(loc)
+        fr = loc - li
+        k = S + vt + li.astype(jnp.int32)  # (R, CH)
+        # k is monotone over the chunk (position steps of c or c+-1), so
+        # the minimum sits at one end; min of both ends covers either
+        # drift direction.
+        base = jnp.clip(
+            jnp.minimum(k[:, :1], k[:, CH - 1 :]), 0, Kp - 1
+        )
+        k2 = jnp.clip(k - base, 0, K2 - 1)
+        bit = 1
+        while bit < Kp:
+            rolled = pltpu.roll(At, Wx - bit, 1)
+            At = jnp.where((base & bit) != 0, rolled, At)
+            bit <<= 1
+        # After base alignment only c*(CH-1) + K2 + 1 lanes remain live;
+        # slicing halves every roll in the residual loop (Wx ~ 512 covers
+        # the pre-alignment base range, W2 = 256 covers the residual).
+        W2 = min(Wx, -(-(c * (CH - 1) + K2 + 2) // 128) * 128)
+        At = At[:, :W2]
+        acc_lo = jnp.zeros((R, CH), jnp.float32)
+        acc_hi = jnp.zeros((R, CH), jnp.float32)
+        for kk in range(K2 + 1):
+            rolledk = pltpu.roll(At, W2 - kk, 1) if kk else At
+            cur = rolledk[:, :CH] if c else rolledk[:, :1]
+            if kk < K2:
+                acc_lo = jnp.where(k2 == kk, cur, acc_lo)
+            if kk > 0:
+                acc_hi = jnp.where(k2 == kk - 1, cur, acc_hi)
+        out_ref[:, t * CH : (t + 1) * CH] = acc_lo * (1.0 - fr) + acc_hi * fr
 
 
 def _select_body_v2(
