@@ -110,3 +110,21 @@ def test_cli_stretch_checkpointed_fused(tmp_path, capsys):
     x, _ = read_wav(wav)
     ref = np.asarray(time_stretch(x, 2.0, PvocConfig(fft_backend="pallas")))
     np.testing.assert_array_equal(y, ref.astype(np.float32))
+
+
+def test_console_script_entry_point():
+    """C14 packaging sanity: the `pvoc` console script declared in
+    pyproject.toml resolves to a real callable (the same `cli.main` the
+    tests above exercise), so `pip install . && pvoc --help` works."""
+    import importlib
+    import tomllib
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "pyproject.toml"), "rb") as f:
+        meta = tomllib.load(f)
+    target = meta["project"]["scripts"]["pvoc"]
+    mod_name, _, attr = target.partition(":")
+    fn = getattr(importlib.import_module(mod_name), attr)
+    assert callable(fn) and fn is cli.main
+    with pytest.raises(SystemExit) as e:
+        fn(["--help"])
+    assert e.value.code == 0
