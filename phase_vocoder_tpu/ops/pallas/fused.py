@@ -147,6 +147,22 @@ def _build_frames(rows_a, rows_b, tile: int, overlap: int):
         ]
     return jnp.concatenate(parts, axis=-1)
 
+def _compiler_params(n_fft: int):
+    """Mosaic params for the single-kernel pallas_calls — raises the
+    scoped-VMEM stack limit for large geometries only.
+
+    At N=2048 the DFT matrix operands alone are ~18 MB (2 f32 + 5 bf16
+    half-size (N/2)^2 matrices after the even/odd fold), over Mosaic's
+    default 16 MB scoped limit at ANY frame tile (measured r05 GEOM:
+    18.75-19.11M stack at tiles 16-64). v5e has 128 MB VMEM; raising the
+    per-kernel limit is the intended escape hatch. None at the canonical
+    N<=1024 so the measured headline configuration stays byte-identical.
+    """
+    if n_fft <= 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _pick_tile(n_fft: int, rs: int, nf: int) -> int:
     """Frames per grid step for the single-kernel path.
 
@@ -167,8 +183,15 @@ def _pick_tile(n_fft: int, rs: int, nf: int) -> int:
     # Scoped-VMEM stack use grows faster than linearly in n_fft (the frame
     # block, fold operands, reversal splits, and the m-segment OLA buffers
     # all widen): tile 128 at N=2048 still measured 19.4M > the 16M limit
-    # (r05 GEOM), tile 64 compiles.
-    return max(16, (256 * 1024 * 1024 // (n_fft * n_fft)) // 8 * 8)
+    # (r05 GEOM), tile 64 compiles at rs=1024 (overlap 2).
+    tile = max(16, (256 * 1024 * 1024 // (n_fft * n_fft)) // 8 * 8)
+    # Deep overlaps widen the per-tile OLA working set further: at
+    # N=2048/rs=256 (overlap 8) tile 64 still stacked 18.75M > 16M
+    # (r05 GEOM, 60 s gate), so scale by overlap/2 beyond overlap 2.
+    m = -(-n_fft // rs)
+    if m > 2:
+        tile = max(16, (tile // (m // 2)) // 8 * 8)
+    return tile
 
 
 def phasor_supported(n_fft: int, ra: int, rs: int, max_int_k: int = 8) -> bool:
@@ -794,6 +817,7 @@ def stft_phasor_terms(
         out_specs=[pl.BlockSpec((tile, nbp), lambda i: (i, 0))] * 5,
         out_shape=[_out_struct((nf_pad, nbp), jnp.float32, x)] * 5,
         scratch_shapes=[pltpu.VMEM((4, nbp), jnp.float32)],
+        compiler_params=_compiler_params(n_fft),
         interpret=_interpret(),
     )(rows, rows, jnp.asarray(fc), jnp.asarray(fs), *consts)
     if return_u:
@@ -857,6 +881,7 @@ def stft_phasor_terms_batch(
         out_specs=[pl.BlockSpec((1, tile, nbp), lambda b, i: (b, i, 0))] * 5,
         out_shape=[_out_struct((B, nf_pad, nbp), jnp.float32, xs)] * 5,
         scratch_shapes=[pltpu.VMEM((4, nbp), jnp.float32)],
+        compiler_params=_compiler_params(n_fft),
         interpret=_interpret(),
     )(rows, rows, jnp.asarray(fc), jnp.asarray(fs), *consts)
     if return_u:
@@ -1105,6 +1130,7 @@ def phasor_istft_ola(
         out_specs=pl.BlockSpec((tile, rs), lambda i: (i, 0)),
         out_shape=_out_struct((nf_pad, rs), jnp.float32, mag, pre),
         scratch_shapes=[pltpu.VMEM((m - 1, rs), jnp.float32)],
+        compiler_params=_compiler_params(n_fft),
         interpret=_interpret(),
     )(mag, pre, pim, mask[:, None], jnp.asarray(ic), jnp.asarray(is_),
       jnp.asarray(head_tbl))
@@ -1178,6 +1204,7 @@ def phasor_istft_ola_batch(
         out_specs=pl.BlockSpec((1, tile, rs), lambda b, i: (b, i, 0)),
         out_shape=_out_struct((B, nf_pad, rs), jnp.float32, mag, pre),
         scratch_shapes=[pltpu.VMEM((m - 1, rs), jnp.float32)],
+        compiler_params=_compiler_params(n_fft),
         interpret=_interpret(),
     )(mag, pre, pim, mask[..., None], jnp.asarray(ic), jnp.asarray(is_),
       jnp.asarray(head_tbl))
@@ -1843,6 +1870,7 @@ def fused_time_stretch(
             pltpu.VMEM((4, nbq), jnp.float32),
             pltpu.VMEM((m - 1, rs), jnp.float32),
         ],
+        compiler_params=_compiler_params(n_fft),
         interpret=_interpret(),
     )(*row_ops, *(jnp.asarray(m_) for m_ in mats), *consts,
       jnp.asarray(head_tbl))
@@ -1989,6 +2017,7 @@ def fused_stream_segment(
             pltpu.VMEM((4, nbq), jnp.float32),
             pltpu.VMEM((m - 1, rs), jnp.float32),
         ],
+        compiler_params=_compiler_params(n_fft),
         interpret=_interpret(),
     )(flags, rows_seg, rows_seg, *(jnp.asarray(m_) for m_ in mats), *consts,
       jnp.asarray(norm_tbl), fmask, carry, tail)
@@ -2106,6 +2135,7 @@ def fused_time_stretch_batch(
             pltpu.VMEM((4, nbq), jnp.float32),
             pltpu.VMEM((m - 1, rs), jnp.float32),
         ],
+        compiler_params=_compiler_params(n_fft),
         interpret=_interpret(),
     )(rows, rows, *(jnp.asarray(m_) for m_ in mats), *consts,
       jnp.asarray(head_tbl), fm)

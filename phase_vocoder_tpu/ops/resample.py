@@ -50,6 +50,9 @@ _SEL_ROWS = 64
 # "roll" = the r04 single-level K+1 rotations; "matmul" = per-row one-hot
 # MXU selects. All A/B'd on chip (PITCH_r04/r05, PROFILE_r05).
 _SEL_IMPL = "fused"
+# Rows per grid step of the v4 MXU shear-select kernel (the matmul's M
+# dim; 128 fills the MXU tile, sweep on chip).
+_MXU_ROWS = 64
 _SEL_MM_ROWS = 8
 # Blocks per superblock in the gather-free span construction (drift
 # absorbed into the select range: K -> K + _SEL_SUPER).
@@ -270,6 +273,31 @@ def _fused_sel_consts(factor: float, out_len: int, n: int):
     )
 
 
+def _fused_spans(x: jnp.ndarray, cst: dict) -> jnp.ndarray:
+    """(nb, nr*stride) span rows — gather-free superblock construction
+    (one row-gather per superblock of G blocks, drift absorbed into the
+    select range; see the v2 notes). Shared by the v3 and v4 kernels."""
+    xp = jnp.pad(x, (cst["OFF"], cst["sb_len"] + cst["stride"] + 1),
+                 mode="edge")
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+    supers = jax.lax.gather(
+        xp,
+        jnp.asarray(cst["anchors"])[:, None],
+        dnums,
+        slice_sizes=(cst["sb_len"],),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # (n_super, sb_len)
+    rows = supers.reshape(
+        cst["n_super"], cst["G"] + cst["nr"] - 1, cst["stride"]
+    )
+    parts = [rows[:, j : j + cst["G"], :] for j in range(cst["nr"])]
+    return jnp.concatenate(parts, axis=-1).reshape(
+        cst["n_super"] * cst["G"], cst["nr"] * cst["stride"]
+    )[: cst["nb"]]
+
+
 def _resample_fused(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
     """v3 fused strided select: spans from superblocks + ONE kernel doing
     index math, alignment, and lerp (see _select_body_v3)."""
@@ -286,23 +314,7 @@ def _resample_fused(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
         cst["stride"], cst["nr"], cst["n_super"], cst["sb_len"]
     )
 
-    # Gather-free span construction (superblocks — see the v2 notes).
-    xp = jnp.pad(x, (OFF, sb_len + stride + 1), mode="edge")
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-    supers = jax.lax.gather(
-        xp,
-        jnp.asarray(cst["anchors"])[:, None],
-        dnums,
-        slice_sizes=(sb_len,),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # (n_super, sb_len)
-    rows = supers.reshape(n_super, cst["G"] + nr - 1, stride)
-    parts = [rows[:, j : j + cst["G"], :] for j in range(nr)]
-    spans = jnp.concatenate(parts, axis=-1).reshape(
-        n_super * cst["G"], nr * stride
-    )[:nb]
+    spans = _fused_spans(x, cst)
 
     R = _SEL_ROWS
     nbp = -(-nb // R) * R
@@ -332,6 +344,116 @@ def _resample_fused(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
     return out.reshape(-1)[:out_len]
 
 
+def _select_body_v4(
+    spans_ref, si_ref, sf_ref, jf_ref, w_ref, out_ref, *, bits, Wk: int
+):
+    """MXU shear select (round-5 v4): one whole-row alignment, then the
+    static shear as a 0/1 matmul — no per-lane carry select at all.
+
+    After left-rolling row r by its exact block-start offset S_r (the 8
+    static bit-rolls of v3, applied ONCE per row instead of per chunk),
+    lane 0 is x[start_int_r] and the j-th output reads lane
+    jo_int[j] + e_j with e_j = floor(F_r + jo_frac[j]) in {0, 1} — the
+    STATIC shear jo_int plus a 1-bounded exact correction. The shear is a
+    compile-time 0/1 matrix [W0|W1|W2] (W_s[i, j] = 1 iff i = jo_int[j]+s)
+    so y_s = A @ W_s picks A[:, jo_int+s] on the MXU (3 exact bf16 splits
+    of A; 0/1 weights make each split-product exact, disjoint sums
+    reconstruct f32 exactly). The linear interpolation collapses to hat
+    weights over u = F + jo_frac in [0, 2):
+        out = max(1-u, 0)*y0 + (1-|u-1|)*y1 + max(u-1, 0)*y2
+    which is arithmetic-identical to v3's (1-fr)/fr lerp at e=0/e=1.
+    v3's residual K2-select loop (the measured VPU bind at ~1.5 Gsamp/s,
+    share 0.55-0.67 of pitch wall) is gone entirely.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    At = spans_ref[:]  # (R, Sp)
+    S = si_ref[:]  # (R, 1) int32: start_int - used + OFF
+    F = sf_ref[:]  # (R, 1) f32: start_frac
+    jf = jf_ref[:]  # (1, B) f32: jo_frac
+    for b in bits:  # descending powers of two covering max(S)
+        # Live window before bit b: Wk + (remaining bits sum) = Wk+2b-1.
+        need = -(-(Wk + 2 * b - 1) // 128) * 128
+        if At.shape[1] > need:
+            At = At[:, :need]
+        rolled = pltpu.roll(At, At.shape[1] - b, 1)
+        At = jnp.where((S & b) != 0, rolled, At)
+    A = At[:, :Wk]
+    a1 = A.astype(jnp.bfloat16)
+    r1 = A - a1.astype(jnp.float32)
+    a2 = r1.astype(jnp.bfloat16)
+    a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    W = w_ref[:]  # (Wk, 3B) bf16 0/1
+    y = (
+        jnp.dot(a1, W, preferred_element_type=jnp.float32)
+        + jnp.dot(a2, W, preferred_element_type=jnp.float32)
+        + jnp.dot(a3, W, preferred_element_type=jnp.float32)
+    )
+    B = out_ref.shape[1]
+    y0, y1, y2 = y[:, :B], y[:, B : 2 * B], y[:, 2 * B :]
+    u = F + jf  # in [0, 2); e = floor(u), fr = u - e
+    w0 = jnp.maximum(1.0 - u, 0.0)
+    w1 = 1.0 - jnp.abs(u - 1.0)
+    w2 = jnp.maximum(u - 1.0, 0.0)
+    out_ref[:] = w0 * y0 + w1 * y1 + w2 * y2
+
+
+def _resample_mxu(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
+    """v4 MXU shear select (see _select_body_v4)."""
+    from jax.experimental import pallas as pl
+
+    from .pallas.stft import _interpret, _out_struct
+
+    n = x.shape[-1]
+    cst = _fused_sel_consts(factor, out_len, n)
+    B, nb = cst["B"], cst["nb"]
+    spans = _fused_spans(x, cst)
+
+    jo64 = np.arange(B, dtype=np.float64) / factor
+    jo_int = np.floor(jo64).astype(np.int64)
+    jo_frac = (jo64 - np.floor(jo64)).astype(np.float32)
+    Wk = -(-int(jo_int[-1] + 3) // 128) * 128
+    Wm = np.zeros((Wk, 3 * B), np.float32)
+    idx = np.arange(B)
+    for s in range(3):
+        Wm[jo_int + s, s * B + idx] = 1.0
+
+    S = cst["S"][:, 0]
+    smax = int(S.max()) if nb else 0
+    assert S.min() >= 0, "span offset underflow"
+    bits = [1 << i for i in range(smax.bit_length())][::-1]
+
+    R = _MXU_ROWS
+    nbp = -(-nb // R) * R
+    S_span = spans.shape[1]
+    Sp = -(-max(S_span, smax + Wk) // 128) * 128
+    spans_p = jnp.pad(spans, ((0, nbp - nb), (0, Sp - S_span)))
+    si = jnp.pad(jnp.asarray(cst["S"]), ((0, nbp - nb), (0, 0)))
+    sf = jnp.pad(jnp.asarray(cst["F"]), ((0, nbp - nb), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_select_body_v4, bits=tuple(bits), Wk=Wk),
+        grid=(nbp // R,),
+        in_specs=[
+            pl.BlockSpec((R, Sp), lambda i: (i, 0)),
+            pl.BlockSpec((R, 1), lambda i: (i, 0)),
+            pl.BlockSpec((R, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, B), lambda i: (0, 0)),
+            pl.BlockSpec((Wk, 3 * B), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, B), lambda i: (i, 0)),
+        out_shape=_out_struct((nbp, B), jnp.float32, x),
+        interpret=_interpret(),
+    )(
+        spans_p,
+        si,
+        sf,
+        jnp.asarray(jo_frac).reshape(1, B),
+        jnp.asarray(Wm, jnp.bfloat16),
+    )
+    return out.reshape(-1)[:out_len]
+
+
 def _resample_strided_select(
     x: jnp.ndarray, factor: float, out_len: int
 ) -> jnp.ndarray:
@@ -346,11 +468,13 @@ def _resample_strided_select(
     """
     n = x.shape[-1]
     step = 1.0 / factor
-    if _SEL_IMPL == "fused" and 0.5 <= step < 2.0:
-        # Every pitch-shift step lands here; the fully fused v3 kernel
-        # (positions + alignment + lerp in VMEM) replaces the v1/v2
+    if _SEL_IMPL in ("fused", "mxu") and 0.5 <= step < 2.0:
+        # Every pitch-shift step lands here; the fused v3/v4 kernels
+        # (positions + alignment + select in VMEM) replace the v1/v2
         # paths below, which are kept as parity oracles and for steps
         # outside [0.5, 2).
+        if _SEL_IMPL == "mxu":
+            return _resample_mxu(x, factor, out_len)
         return _resample_fused(x, factor, out_len)
     B = _SEL_BLOCK
     lo, frac = _positions(factor, out_len, n)
