@@ -41,18 +41,27 @@ _BLOCK = 1024  # positions-precision block (f64 host starts)
 # kernel: 64 > 32 > 128 (resample_ablate, PROFILE_r05) — per-grid-step
 # fixed overhead is a leading term, 128 trips VMEM pressure.
 _SEL_ROWS = 64
-# Select implementation: "fused" (default, round 5 v3) = positions,
-# carries, lerp weights, per-row alignment (8 static bit-rolls) and the
-# short residual select ALL inside one kernel — no output-length index
-# tensors, no per-row dynamic rolls (_select_body_v3; the r05 attribution
-# showed v2 was bound by XLA index passes + tiny-roll op overhead, not
-# arithmetic). "roll2" = v2 (dynamic per-chunk alignment via SMEM bases);
-# "roll" = the r04 single-level K+1 rotations; "matmul" = per-row one-hot
-# MXU selects. All A/B'd on chip (PITCH_r04/r05, PROFILE_r05).
-_SEL_IMPL = "fused"
+# Select implementation: "mxu" (default, round 5 v4) = whole-row exact
+# alignment then the STATIC shear as a 0/1 matmul on the MXU with
+# hat-weight lerp (_select_body_v4) — chip A/B: 1803/1284 Msamp/s vs v3's
+# 1267/1020 at the -7/+5 st steps (RESAMPLE_AB_r05.json). "fused" = v3:
+# positions, carries, lerp weights, per-row alignment (8 static
+# bit-rolls) and the short residual select ALL inside one kernel — no
+# output-length index tensors, no per-row dynamic rolls (_select_body_v3;
+# the r05 attribution showed v2 was bound by XLA index passes + tiny-roll
+# op overhead, not arithmetic). "roll2" = v2 (dynamic per-chunk alignment
+# via SMEM bases); "roll" = the r04 single-level K+1 rotations; "matmul"
+# = per-row one-hot MXU selects. All A/B'd on chip (PITCH_r04/r05,
+# RESAMPLE_AB_r05).
+_SEL_IMPL = "mxu"
 # Rows per grid step of the v4 MXU shear-select kernel (the matmul's M
-# dim; 128 fills the MXU tile, sweep on chip).
-_MXU_ROWS = 64
+# dim; 128 fills the MXU tile). r05 chip A/B (RESAMPLE_AB_r05.json):
+# mxu128 1803/1284 Msamp/s vs v3 'fused' 1267/1020 at the -7/+5 st pitch
+# steps (mxu64 within noise of 128); v4 is the default since r05.
+_MXU_ROWS = 128
+# One concatenated-K dot vs three split dots in the v4 kernel (A/B'd on
+# chip; identical exact arithmetic either way).
+_MXU_ONEDOT = False
 _SEL_MM_ROWS = 8
 # Blocks per superblock in the gather-free span construction (drift
 # absorbed into the select range: K -> K + _SEL_SUPER).
@@ -383,12 +392,21 @@ def _select_body_v4(
     r1 = A - a1.astype(jnp.float32)
     a2 = r1.astype(jnp.bfloat16)
     a3 = (r1 - a2.astype(jnp.float32)).astype(jnp.bfloat16)
-    W = w_ref[:]  # (Wk, 3B) bf16 0/1
-    y = (
-        jnp.dot(a1, W, preferred_element_type=jnp.float32)
-        + jnp.dot(a2, W, preferred_element_type=jnp.float32)
-        + jnp.dot(a3, W, preferred_element_type=jnp.float32)
-    )
+    W = w_ref[:]  # (Wk, 3B) or (3*Wk, 3B) bf16 0/1
+    if W.shape[0] == 3 * Wk:
+        # One MXU dot: splits concatenated along K against [W; W; W]
+        # (identical exact sum, one Mosaic op instead of three).
+        y = jnp.dot(
+            jnp.concatenate([a1, a2, a3], axis=1),
+            W,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        y = (
+            jnp.dot(a1, W, preferred_element_type=jnp.float32)
+            + jnp.dot(a2, W, preferred_element_type=jnp.float32)
+            + jnp.dot(a3, W, preferred_element_type=jnp.float32)
+        )
     B = out_ref.shape[1]
     y0, y1, y2 = y[:, :B], y[:, B : 2 * B], y[:, 2 * B :]
     u = F + jf  # in [0, 2); e = floor(u), fr = u - e
@@ -417,18 +435,28 @@ def _resample_mxu(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
     idx = np.arange(B)
     for s in range(3):
         Wm[jo_int + s, s * B + idx] = 1.0
+    if _MXU_ONEDOT:
+        Wm = np.concatenate([Wm, Wm, Wm], axis=0)
 
-    S = cst["S"][:, 0]
+    S_span = spans.shape[1]
+    # Blocks whose start lies entirely beyond the input end carry a huge
+    # start_int - used offset, but their whole span row is the edge-clamp
+    # constant (xp edge pad), so ANY in-range window reads the exact
+    # clamped output — cap S at L - Wk (v3 reached the same result by
+    # clipping per-element carries; measured: uncapped S wraps the
+    # bit-rolls into the zero padding on out_len >> n/step requests).
+    S = np.minimum(cst["S"][:, 0], S_span - Wk)
     smax = int(S.max()) if nb else 0
-    assert S.min() >= 0, "span offset underflow"
+    assert nb == 0 or S.min() >= 0, "span offset underflow"
     bits = [1 << i for i in range(smax.bit_length())][::-1]
 
     R = _MXU_ROWS
     nbp = -(-nb // R) * R
-    S_span = spans.shape[1]
     Sp = -(-max(S_span, smax + Wk) // 128) * 128
     spans_p = jnp.pad(spans, ((0, nbp - nb), (0, Sp - S_span)))
-    si = jnp.pad(jnp.asarray(cst["S"]), ((0, nbp - nb), (0, 0)))
+    si = jnp.pad(
+        jnp.asarray(S.astype(np.int32)[:, None]), ((0, nbp - nb), (0, 0))
+    )
     sf = jnp.pad(jnp.asarray(cst["F"]), ((0, nbp - nb), (0, 0)))
 
     out = pl.pallas_call(
@@ -439,7 +467,7 @@ def _resample_mxu(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
             pl.BlockSpec((R, 1), lambda i: (i, 0)),
             pl.BlockSpec((R, 1), lambda i: (i, 0)),
             pl.BlockSpec((1, B), lambda i: (0, 0)),
-            pl.BlockSpec((Wk, 3 * B), lambda i: (0, 0)),
+            pl.BlockSpec(Wm.shape, lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((R, B), lambda i: (i, 0)),
         out_shape=_out_struct((nbp, B), jnp.float32, x),
