@@ -282,10 +282,20 @@ def _fused_sel_consts(factor: float, out_len: int, n: int):
     )
 
 
-def _fused_spans(x: jnp.ndarray, cst: dict) -> jnp.ndarray:
-    """(nb, nr*stride) span rows — gather-free superblock construction
+def _fused_spans(
+    x: jnp.ndarray, cst: dict, width: int | None = None
+) -> jnp.ndarray:
+    """(nb, <=nr*stride) span rows — gather-free superblock construction
     (one row-gather per superblock of G blocks, drift absorbed into the
-    select range; see the v2 notes). Shared by the v3 and v4 kernels."""
+    select range; see the v2 notes). Shared by the v3 and v4 kernels.
+
+    `width` caps the constructed span width: the v4 kernel reads only
+    smax + Wk lanes (~1024) of the full nr*stride (~2304) span, and the
+    r05 chip attribution (RESAMPLE_ATTR_r05.json) showed span
+    construction is ~77% of resample wall — building only the needed
+    parts cuts its HBM bytes ~2.3x. The per-superblock row gather always
+    fetches sb_len (the trailing rows feed the last blocks' parts), but
+    the O(nb * span_width) concat/materialization shrinks."""
     xp = jnp.pad(x, (cst["OFF"], cst["sb_len"] + cst["stride"] + 1),
                  mode="edge")
     dnums = jax.lax.GatherDimensionNumbers(
@@ -301,10 +311,16 @@ def _fused_spans(x: jnp.ndarray, cst: dict) -> jnp.ndarray:
     rows = supers.reshape(
         cst["n_super"], cst["G"] + cst["nr"] - 1, cst["stride"]
     )
-    parts = [rows[:, j : j + cst["G"], :] for j in range(cst["nr"])]
-    return jnp.concatenate(parts, axis=-1).reshape(
-        cst["n_super"] * cst["G"], cst["nr"] * cst["stride"]
+    nparts = cst["nr"]
+    if width is not None:
+        nparts = min(cst["nr"], -(-width // cst["stride"]))
+    parts = [rows[:, j : j + cst["G"], :] for j in range(nparts)]
+    spans = jnp.concatenate(parts, axis=-1).reshape(
+        cst["n_super"] * cst["G"], nparts * cst["stride"]
     )[: cst["nb"]]
+    if width is not None and spans.shape[1] > width:
+        spans = spans[:, :width]
+    return spans
 
 
 def _resample_fused(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
@@ -425,7 +441,6 @@ def _resample_mxu(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
     n = x.shape[-1]
     cst = _fused_sel_consts(factor, out_len, n)
     B, nb = cst["B"], cst["nb"]
-    spans = _fused_spans(x, cst)
 
     jo64 = np.arange(B, dtype=np.float64) / factor
     jo_int = np.floor(jo64).astype(np.int64)
@@ -437,6 +452,16 @@ def _resample_mxu(x: jnp.ndarray, factor: float, out_len: int) -> jnp.ndarray:
         Wm[jo_int + s, s * B + idx] = 1.0
     if _MXU_ONEDOT:
         Wm = np.concatenate([Wm, Wm, Wm], axis=0)
+
+    # Build only the span lanes the kernel reads: max normal-block offset
+    # + the Wk select window (span construction is ~77% of resample wall
+    # at full nr*stride width — RESAMPLE_ATTR_r05.json).
+    L_full = cst["nr"] * cst["stride"]
+    s_norm = (
+        int(np.minimum(cst["S"][:, 0], L_full - Wk).max()) if nb else 0
+    )
+    width = -(-(max(s_norm, 0) + Wk) // 128) * 128
+    spans = _fused_spans(x, cst, width=min(width, L_full))
 
     S_span = spans.shape[1]
     # Blocks whose start lies entirely beyond the input end carry a huge
